@@ -1,0 +1,378 @@
+"""Fully on-device top-K ranking evaluation.
+
+Replaces the reference's evaluation stack — ProxyEvaluator /
+GroupedEvaluator / UniEvaluator with a C++ thread-pool backend
+(evaluator/proxy_evaluator.py, evaluator/grouped_evaluator.py,
+evaluator/backend/cpp/*) — with a single jitted device pipeline:
+
+    scores = predict(params, users)            # batched, (B, num_items)
+    mask train items to -inf                   # scatter via padded rows
+    top-K = lax.top_k                          # on device
+    metrics = vectorized cumulative kernels    # ops/metrics.py
+
+so evaluation never round-trips score matrices to the host (the reference
+moves a (B, num_items) float matrix across the device boundary per batch and
+partial-sorts it on CPU threads, evaluate.h:23-50).
+
+Protocol parity:
+
+* metrics configurable from {Precision, Recall, MAP, NDCG, MRR}; auto-fits
+  leave-one-out and fold-out splits (uni_evaluator.py:17-31);
+* full-catalog protocol with train-item masking (uni_evaluator.py:133-143);
+* sampled-candidates protocol when per-user test negatives exist: candidates
+  are test positives followed by fixed negatives and ground-truth indices are
+  the first len(pos) positions (uni_evaluator.py:123-131);
+* grouped evaluation over train-interaction-count buckets with the
+  reference's ``(lo,hi]:`` row labels (grouped_evaluator.py:63-77,107-112);
+* result strings: metric-major, ``("%.8f" % x).ljust(12)`` tab-joined
+  (uni_evaluator.py:150-157).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Callable, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurec_tpu.data.padded import PaddedUserItems, build_padded_positives
+from neurec_tpu.ops.metrics import METRIC_INDEX, METRIC_NAMES, all_metrics, hit_matrix
+
+PredictFn = Callable[[object, jnp.ndarray], jnp.ndarray]
+
+
+def _pad_rows(rows: List[List[int]], pad_value: int, min_len: int = 1):
+    max_len = max(max((len(r) for r in rows), default=0), min_len)
+    out = np.full((len(rows), max_len), pad_value, dtype=np.int32)
+    lengths = np.zeros(len(rows), dtype=np.int32)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+        lengths[i] = len(r)
+    return out, lengths
+
+
+class UniEvaluator:
+    """On-device evaluator for a flat (ungrouped) set of test users."""
+
+    def __init__(
+        self,
+        user_train_dict: Dict[int, List[int]],
+        user_test_dict: Dict[int, List[int]],
+        user_neg_test: Optional[Dict[int, List[int]]] = None,
+        metric: Optional[Sequence[str]] = None,
+        top_k=50,
+        batch_size: int = 1024,
+        num_items: Optional[int] = None,
+        num_thread: int = 8,  # accepted for API parity; unused on device
+    ):
+        if metric is None:
+            metric = list(METRIC_NAMES)
+        elif isinstance(metric, str):
+            metric = [metric]
+        for m in metric:
+            if m not in METRIC_INDEX:
+                raise ValueError("There is no metric named '%s'!" % m)
+        self.metrics = list(metric)
+        self.metrics_num = len(self.metrics)
+        self._metric_rows = np.asarray([METRIC_INDEX[m] for m in self.metrics])
+
+        self.user_pos_train = user_train_dict
+        self.user_pos_test = user_test_dict
+        self.user_neg_test = user_neg_test
+        self.batch_size = int(batch_size)
+
+        self.max_top = top_k if isinstance(top_k, int) else max(top_k)
+        if isinstance(top_k, int):
+            self.top_show = np.arange(top_k) + 1
+        else:
+            self.top_show = np.sort(top_k)
+
+        if num_items is None:
+            num_items = 0
+            for d in (user_train_dict, user_test_dict, user_neg_test or {}):
+                for items in d.values():
+                    if len(items):
+                        num_items = max(num_items, max(items) + 1)
+        self.num_items = int(num_items)
+
+        # global padded sorted train rows, for masking (pad == num_items)
+        num_users = max(
+            [u for u in user_train_dict] + [u for u in user_test_dict], default=-1
+        ) + 1
+        max_train = max(
+            (len(v) for v in user_train_dict.values()), default=0
+        )
+        train_rows = np.full(
+            (num_users, max(max_train, 1)), self.num_items, dtype=np.int32
+        )
+        for u, items in user_train_dict.items():
+            train_rows[u, : len(items)] = np.sort(items)
+        self._train_rows = jnp.asarray(train_rows)
+
+        # test-user-aligned padded truth rows
+        self.test_users = np.asarray(list(user_test_dict.keys()), dtype=np.int32)
+        test_rows, test_lens = _pad_rows(
+            [list(user_test_dict[u]) for u in self.test_users], self.num_items
+        )
+        self._test_rows = jnp.asarray(test_rows)
+        self._test_lens = jnp.asarray(test_lens)
+
+        if user_neg_test is not None:
+            cands = [
+                list(user_test_dict[u]) + list(user_neg_test[u])
+                for u in self.test_users
+            ]
+            cand_rows, _ = _pad_rows(cands, self.num_items, min_len=self.max_top)
+            self._cand_rows = jnp.asarray(cand_rows)
+            self._n_pos = jnp.asarray(
+                [len(user_test_dict[u]) for u in self.test_users], dtype=np.int32
+            )
+        else:
+            self._cand_rows = None
+            self._n_pos = None
+
+        self._user_pos_index = {int(u): i for i, u in enumerate(self.test_users)}
+        self._jit_cache: Dict[int, Callable] = {}
+
+    # -- info --------------------------------------------------------------
+    def metrics_info(self) -> str:
+        metrics_show = [
+            "\t".join(
+                ("%s@" % m + str(k)).ljust(12) for k in self.top_show
+            )
+            for m in self.metrics
+        ]
+        return "metrics:\t%s" % "\t".join(metrics_show)
+
+    # -- jitted batch steps -------------------------------------------------
+    def _make_eval_step(self, predict_fn: PredictFn):
+        num_items = self.num_items
+        K = min(self.max_top, num_items)
+
+        def full_catalog_step(params, users, train_rows, test_rows, test_lens, valid):
+            scores = predict_fn(params, users).astype(jnp.float32)
+            B = scores.shape[0]
+            ext = jnp.concatenate(
+                [scores, jnp.zeros((B, 1), jnp.float32)], axis=1
+            )
+            ext = ext.at[jnp.arange(B)[:, None], train_rows].set(-jnp.inf)
+            masked = ext[:, :num_items]
+            _, topk = jax.lax.top_k(masked, K)
+            hits = hit_matrix(topk, test_rows, test_lens)
+            m = all_metrics(hits, test_lens)  # (B, 5, K)
+            w = valid.astype(jnp.float32)
+            return jnp.sum(m * w[:, None, None], axis=0), jnp.sum(w)
+
+        def candidate_step(params, users, cand_rows, n_pos, valid):
+            scores = predict_fn(params, users).astype(jnp.float32)
+            B = scores.shape[0]
+            ext = jnp.concatenate(
+                [scores, jnp.full((B, 1), -jnp.inf, jnp.float32)], axis=1
+            )
+            cscores = jnp.take_along_axis(ext, cand_rows, axis=1)  # (B, C)
+            Kc = min(K, cand_rows.shape[1])
+            _, topk = jax.lax.top_k(cscores, Kc)
+            hits = (topk < n_pos[:, None]).astype(jnp.float32)
+            if Kc < K:  # pad rank axis so output shape is (B, 5, K)
+                hits = jnp.pad(hits, ((0, 0), (0, K - Kc)))
+            m = all_metrics(hits, n_pos)
+            w = valid.astype(jnp.float32)
+            return jnp.sum(m * w[:, None, None], axis=0), jnp.sum(w)
+
+        return jax.jit(full_catalog_step), jax.jit(candidate_step)
+
+    def _get_steps(self, predict_fn: PredictFn):
+        key = id(predict_fn)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = self._make_eval_step(predict_fn)
+        return self._jit_cache[key]
+
+    # -- evaluation ---------------------------------------------------------
+    def evaluate_raw(
+        self,
+        predict_fn: PredictFn,
+        params,
+        test_users: Optional[Sequence[int]] = None,
+    ) -> np.ndarray:
+        """Mean per-user metric matrix, shape (metrics_num, len(top_show))."""
+        full_step, cand_step = self._get_steps(predict_fn)
+        if test_users is None:
+            users = self.test_users
+        else:
+            users = np.asarray(list(test_users), dtype=np.int32)
+        positions = np.asarray(
+            [self._user_pos_index[int(u)] for u in users], dtype=np.int32
+        )
+
+        B = min(self.batch_size, max(len(users), 1))
+        n_batches = (len(users) + B - 1) // B
+        total = np.zeros((5, min(self.max_top, self.num_items)), dtype=np.float64)
+        count = 0.0
+        for b in range(n_batches):
+            sel = positions[b * B : (b + 1) * B]
+            valid = np.ones(len(sel), dtype=np.float32)
+            if len(sel) < B:  # pad final batch
+                pad = B - len(sel)
+                sel = np.concatenate([sel, np.zeros(pad, dtype=np.int32)])
+                valid = np.concatenate([valid, np.zeros(pad, dtype=np.float32)])
+            batch_users = jnp.asarray(self.test_users[sel])
+            sel_j = jnp.asarray(sel)
+            if self.user_neg_test is not None:
+                msum, wsum = cand_step(
+                    params,
+                    batch_users,
+                    self._cand_rows[sel_j],
+                    self._n_pos[sel_j],
+                    jnp.asarray(valid),
+                )
+            else:
+                msum, wsum = full_step(
+                    params,
+                    batch_users,
+                    self._train_rows[batch_users],
+                    self._test_rows[sel_j],
+                    self._test_lens[sel_j],
+                    jnp.asarray(valid),
+                )
+            total += np.asarray(msum, dtype=np.float64)
+            count += float(wsum)
+
+        mean = (total / max(count, 1.0)).astype(np.float32)  # (5, K)
+        k_idx = np.minimum(self.top_show, self.num_items) - 1
+        return mean[self._metric_rows][:, k_idx]
+
+    def evaluate(
+        self,
+        predict_fn: PredictFn,
+        params,
+        test_users: Optional[Sequence[int]] = None,
+    ) -> str:
+        result = self.evaluate_raw(predict_fn, params, test_users).reshape(-1)
+        return "\t".join(("%.8f" % x).ljust(12) for x in result)
+
+
+class GroupedEvaluator:
+    """Evaluate per user group bucketed by train-interaction count.
+
+    Parity: grouped_evaluator.py:12-112, including the ``(lo,hi]:`` labels
+    and discarding users above the last bound.
+    """
+
+    def __init__(
+        self,
+        user_train_dict,
+        user_test_dict,
+        user_neg_test=None,
+        metric=None,
+        group_view=None,
+        top_k=50,
+        batch_size=1024,
+        num_items=None,
+        num_thread=8,
+    ):
+        if not isinstance(group_view, list):
+            raise TypeError("The type of 'group_view' must be `list`!")
+        self.evaluator = UniEvaluator(
+            user_train_dict,
+            user_test_dict,
+            user_neg_test,
+            metric=metric,
+            top_k=top_k,
+            batch_size=batch_size,
+            num_items=num_items,
+            num_thread=num_thread,
+        )
+        group_list = [0] + group_view
+        group_info = [
+            ("(%d,%d]:" % (g_l, g_h)).ljust(12)
+            for g_l, g_h in zip(group_list[:-1], group_list[1:])
+        ]
+        all_test_user = list(user_test_dict.keys())
+        num_interaction = [
+            len(user_train_dict.get(u, ())) for u in all_test_user
+        ]
+        group_idx = np.searchsorted(group_list[1:], num_interaction)
+        self.grouped_user: "OrderedDict[str, List[int]]" = OrderedDict()
+        for gi in range(len(group_info)):
+            members = [
+                u for u, g in zip(all_test_user, group_idx) if g == gi
+            ]
+            if members:
+                self.grouped_user[group_info[gi]] = members
+        if not self.grouped_user:
+            raise ValueError("The splitting of user groups is not suitable!")
+
+    def metrics_info(self) -> str:
+        return self.evaluator.metrics_info()
+
+    def evaluate(self, predict_fn: PredictFn, params) -> str:
+        result_to_show = ""
+        for group, users in self.grouped_user.items():
+            tmp_result = self.evaluator.evaluate(predict_fn, params, users)
+            result_to_show = "%s\n%s\t%s" % (result_to_show, group, tmp_result)
+        return result_to_show
+
+
+class Evaluator:
+    """Facade dispatching to UniEvaluator or GroupedEvaluator.
+
+    Parity: proxy_evaluator.py:10-108.
+    """
+
+    def __init__(
+        self,
+        user_train_dict,
+        user_test_dict,
+        user_neg_test=None,
+        metric=None,
+        group_view=None,
+        top_k=50,
+        batch_size=1024,
+        num_items=None,
+        num_thread=8,
+    ):
+        if group_view is not None:
+            self.evaluator = GroupedEvaluator(
+                user_train_dict,
+                user_test_dict,
+                user_neg_test,
+                metric=metric,
+                group_view=group_view,
+                top_k=top_k,
+                batch_size=batch_size,
+                num_items=num_items,
+                num_thread=num_thread,
+            )
+        else:
+            self.evaluator = UniEvaluator(
+                user_train_dict,
+                user_test_dict,
+                user_neg_test,
+                metric=metric,
+                top_k=top_k,
+                batch_size=batch_size,
+                num_items=num_items,
+                num_thread=num_thread,
+            )
+
+    @classmethod
+    def from_dataset(cls, dataset, config) -> "Evaluator":
+        return cls(
+            dataset.get_user_train_dict(),
+            dataset.get_user_test_dict(),
+            dataset.get_user_test_neg_dict(),
+            metric=config.get("metric"),
+            group_view=config.get("group_view"),
+            top_k=config.get("topk", 50),
+            batch_size=config.get("test_batch_size", 1024),
+            num_items=dataset.num_items,
+            num_thread=config.get("num_thread", 8),
+        )
+
+    def metrics_info(self) -> str:
+        return self.evaluator.metrics_info()
+
+    def evaluate(self, predict_fn: PredictFn, params) -> str:
+        return self.evaluator.evaluate(predict_fn, params)

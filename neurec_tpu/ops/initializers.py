@@ -1,0 +1,44 @@
+"""Parameter initializer registry.
+
+Parity with util/tool.py:79-97 (``get_initializer``): schemes tnormal
+(truncated normal), uniform, normal, xavier_normal, xavier_uniform,
+he_normal, he_uniform, zeros, ones.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def get_initializer(init_method: str, stddev: float = 0.01):
+    """Return ``init(key, shape, dtype) -> array`` for the named scheme."""
+    m = init_method.lower()
+    if m == "tnormal":
+        def init(key, shape, dtype=jnp.float32):
+            return stddev * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    elif m == "uniform":
+        def init(key, shape, dtype=jnp.float32):
+            return jax.random.uniform(
+                key, shape, dtype, minval=-stddev, maxval=stddev
+            )
+    elif m == "normal":
+        def init(key, shape, dtype=jnp.float32):
+            return stddev * jax.random.normal(key, shape, dtype)
+    elif m == "xavier_normal":
+        init = jax.nn.initializers.glorot_normal()
+    elif m == "xavier_uniform":
+        init = jax.nn.initializers.glorot_uniform()
+    elif m == "he_normal":
+        init = jax.nn.initializers.he_normal()
+    elif m == "he_uniform":
+        init = jax.nn.initializers.he_uniform()
+    elif m == "zeros":
+        def init(key, shape, dtype=jnp.float32):
+            return jnp.zeros(shape, dtype)
+    elif m == "ones":
+        def init(key, shape, dtype=jnp.float32):
+            return jnp.ones(shape, dtype)
+    else:
+        raise ValueError("unknown init method '%s'" % init_method)
+    return init

@@ -1,0 +1,167 @@
+"""Dataset pipeline: filter/split/remap semantics + cache behavior."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from neurec_tpu.config import Config
+from neurec_tpu.data.dataset import Dataset, csr_to_user_dict, csr_to_user_dict_bytime
+from neurec_tpu.data.padded import build_padded_positives
+from neurec_tpu.data.preprocess import filter_data, split_by_loo, split_by_ratio
+from neurec_tpu.data.sequences import pad_sequences
+
+
+def _make_ratings(tmp_path, rows, name="toy", sep="\t"):
+    path = tmp_path / ("%s.rating" % name)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(sep.join(str(x) for x in r) + "\n")
+    return path
+
+
+def _toy_config(tmp_path, **overrides):
+    lib = tmp_path / "NeuRec.properties"
+    base = {
+        "recommender": "MF",
+        "config_dir": str(tmp_path),
+        "data.input.path": str(tmp_path),
+        "data.input.dataset": "toy",
+        "data.column.format": "UIRT",
+        "data.convert.separator": "'\\t'",
+        "user_min": "0",
+        "item_min": "0",
+        "splitter": "ratio",
+        "ratio": "0.8",
+        "by_time": "True",
+        "rec.evaluate.neg": "0",
+    }
+    base.update({k: str(v) for k, v in overrides.items()})
+    lib.write_text(
+        "[default]\n" + "\n".join("%s=%s" % kv for kv in base.items()) + "\n"
+    )
+    (tmp_path / "MF.properties").write_text("[hyperparameters]\nlr=0.1\n")
+    return Config(str(lib), cmd_args=[])
+
+
+def test_filter_data_order():
+    df = pd.DataFrame(
+        {
+            "user": [1, 1, 1, 2, 2, 3],
+            "item": [10, 11, 12, 10, 11, 12],
+            "rating": [1.0] * 6,
+        }
+    )
+    # item 12 appears twice, others twice; with item_min=2 everything stays
+    out = filter_data(df.copy(), user_min=2, item_min=2)
+    assert 3 not in out["user"].values  # user 3 has 1 interaction
+    assert len(out) == 5
+
+
+def test_split_by_ratio_by_time():
+    df = pd.DataFrame(
+        {
+            "user": [0] * 5 + [1] * 4,
+            "item": [0, 1, 2, 3, 4, 0, 1, 2, 3],
+            "rating": [1.0] * 9,
+            "time": [5, 4, 3, 2, 1, 1, 2, 3, 4],
+        }
+    )
+    train, test = split_by_ratio(df, ratio=0.8, by_time=True)
+    # user 0: 5 items, ceil(4.0)=4 in train; latest-time item (time=5 -> item 0) in test
+    u0_test = test[test["user"] == 0]
+    assert len(u0_test) == 1 and u0_test["item"].iloc[0] == 0
+    # user 1: 4 items, ceil(3.2)=4 -> all in train
+    assert len(test[test["user"] == 1]) == 0
+
+
+def test_split_by_loo():
+    df = pd.DataFrame(
+        {
+            "user": [0] * 5 + [1] * 3,
+            "item": [0, 1, 2, 3, 4, 7, 8, 9],
+            "rating": [1.0] * 8,
+            "time": [1, 2, 3, 4, 5, 1, 2, 3],
+        }
+    )
+    train, test = split_by_loo(df, by_time=True)
+    # user 0 has 5 > 3: last item (4) goes to test
+    assert test[test["user"] == 0]["item"].tolist() == [4]
+    # user 1 has 3 <= 3: kept whole in train
+    assert len(test[test["user"] == 1]) == 0
+    assert sorted(train[train["user"] == 1]["item"].tolist()) == [7, 8, 9]
+
+
+def test_dataset_end_to_end_and_cache(tmp_path):
+    rng = np.random.RandomState(0)
+    rows = []
+    for u in range(20):
+        items = rng.choice(50, size=rng.randint(5, 15), replace=False)
+        for t, i in enumerate(items):
+            rows.append((u + 100, i + 1000, 1.0, t))
+    _make_ratings(tmp_path, rows)
+    conf = _toy_config(tmp_path)
+    ds = Dataset(conf)
+    assert ds.num_users == 20
+    assert ds.train_matrix.shape == (ds.num_users, ds.num_items)
+    assert ds.train_matrix.nnz + ds.test_matrix.nnz == len(rows)
+    # every user's train/test items are disjoint
+    tr = csr_to_user_dict(ds.train_matrix)
+    te = csr_to_user_dict(ds.test_matrix)
+    for u, items in te.items():
+        assert not set(items) & set(tr[u])
+
+    # cache round-trip produces identical matrices
+    cache_dir = os.path.join(str(tmp_path), "_tmp_toy")
+    assert os.path.isdir(cache_dir)
+    ds2 = Dataset(_toy_config(tmp_path))
+    assert (ds2.train_matrix != ds.train_matrix).nnz == 0
+    assert (ds2.test_matrix != ds.test_matrix).nnz == 0
+
+    # md5 invalidation: touch source -> re-split
+    with open(tmp_path / "toy.rating", "a") as f:
+        f.write("999\t1000\t1.0\t0\n")
+    ds3 = Dataset(_toy_config(tmp_path))
+    assert ds3.num_users == 21
+
+
+def test_bytime_user_dict(tmp_path):
+    rows = [
+        (0, 10, 1.0, 5),
+        (0, 11, 1.0, 1),
+        (0, 12, 1.0, 3),
+        (1, 10, 1.0, 2),
+        (1, 12, 1.0, 1),
+    ]
+    _make_ratings(tmp_path, rows)
+    conf = _toy_config(tmp_path, ratio="1.0")
+    ds = Dataset(conf)
+    d = csr_to_user_dict_bytime(ds.time_matrix, ds.train_matrix)
+    # user 0 by time: item 11 (t=1), 12 (t=3), 10 (t=5) in remapped ids
+    i11, i12, i10 = ds.itemids[11], ds.itemids[12], ds.itemids[10]
+    assert d[ds.userids[0]] == [i11, i12, i10]
+    assert d[ds.userids[1]] == [i12, i10]
+
+
+def test_padded_positives():
+    from scipy.sparse import csr_matrix
+
+    m = csr_matrix(
+        (np.ones(4), ([0, 0, 2, 2], [3, 1, 0, 4])), shape=(3, 5)
+    )
+    p = build_padded_positives(m, pad_multiple=4, min_len=4)
+    assert p.items.shape == (3, 4)
+    assert p.items[0, :2].tolist() == [1, 3]  # sorted
+    assert (p.items[1] == 5).all()  # empty row fully padded
+    assert p.lengths.tolist() == [2, 0, 2]
+
+
+def test_pad_sequences():
+    seqs = [[1, 2, 3], [4], []]
+    post = pad_sequences(seqs, value=0, max_len=4, padding="post")
+    np.testing.assert_array_equal(post[0], [1, 2, 3, 0])
+    pre = pad_sequences(seqs, value=9, max_len=2, padding="pre", truncating="pre")
+    np.testing.assert_array_equal(pre[0], [2, 3])
+    np.testing.assert_array_equal(pre[1], [9, 4])
+    np.testing.assert_array_equal(pre[2], [9, 9])

@@ -1,0 +1,138 @@
+"""Evaluator pipeline vs a brute-force numpy mirror of the reference protocol
+(uni_evaluator.py:101-157 + metric.h kernels)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from neurec_tpu.eval.evaluator import Evaluator, UniEvaluator
+from neurec_tpu.ops.metrics_host import METRIC_FNS
+
+
+def _brute_force_eval(
+    score_fn, train_dict, test_dict, metrics, top_show, max_top, num_items,
+    neg_dict=None, users=None,
+):
+    """Reference-protocol evaluation in pure numpy."""
+    users = list(test_dict.keys()) if users is None else users
+    per_user = []
+    for u in users:
+        if neg_dict is not None:
+            cand = list(test_dict[u]) + list(neg_dict[u])
+            scores = score_fn(u)[cand]
+            truth = set(range(len(test_dict[u])))
+            order = np.argsort(-scores, kind="stable")[:max_top]
+            rank = order.tolist()
+        else:
+            scores = score_fn(u).copy()
+            if u in train_dict:
+                scores[train_dict[u]] = -np.inf
+            order = np.argsort(-scores, kind="stable")[:max_top]
+            rank = order.tolist()
+            truth = set(test_dict[u])
+        rows = [METRIC_FNS[m](rank, truth) for m in metrics]
+        per_user.append(np.stack(rows))
+    mean = np.mean(np.stack(per_user), axis=0)  # (M, max_top)
+    return mean[:, np.asarray(top_show) - 1]
+
+
+def _random_setup(seed=0, num_users=40, num_items=120):
+    rng = np.random.RandomState(seed)
+    train_dict, test_dict = {}, {}
+    for u in range(num_users):
+        items = rng.choice(num_items, size=rng.randint(6, 30), replace=False)
+        n_test = max(1, len(items) // 5)
+        train_dict[u] = sorted(items[:-n_test].tolist())
+        test_dict[u] = sorted(items[-n_test:].tolist())
+    scores = rng.randn(num_users, num_items).astype(np.float32)
+    return train_dict, test_dict, scores
+
+
+def test_full_catalog_matches_brute_force():
+    train_dict, test_dict, scores = _random_setup()
+    num_items = scores.shape[1]
+    metrics = ["Precision", "Recall", "MAP", "NDCG", "MRR"]
+    top_show = [5, 10, 20]
+
+    ev = UniEvaluator(
+        train_dict, test_dict, metric=metrics, top_k=top_show,
+        batch_size=16, num_items=num_items,
+    )
+    scores_dev = jnp.asarray(scores)
+
+    def predict(params, users):
+        return scores_dev[users]
+
+    got = ev.evaluate_raw(predict, None)
+    want = _brute_force_eval(
+        lambda u: scores[u], train_dict, test_dict, metrics, top_show, 20,
+        num_items,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_result_string_format():
+    train_dict, test_dict, scores = _random_setup(1)
+    ev = UniEvaluator(
+        train_dict, test_dict, metric=["Recall", "NDCG"], top_k=[10, 20],
+        batch_size=64, num_items=scores.shape[1],
+    )
+    scores_dev = jnp.asarray(scores)
+    out = ev.evaluate(lambda p, u: scores_dev[u], None)
+    parts = out.split("\t")
+    assert len(parts) == 4  # 2 metrics x 2 ks, metric-major
+    for p in parts:
+        assert len(p) == 12  # ("%.8f" % x).ljust(12)
+    info = ev.metrics_info()
+    assert info.startswith("metrics:")
+    assert "Recall@10" in info and "NDCG@20" in info
+
+
+def test_sampled_negatives_protocol():
+    rng = np.random.RandomState(2)
+    train_dict, test_dict, scores = _random_setup(2, num_users=25)
+    num_items = scores.shape[1]
+    neg_dict = {}
+    for u in test_dict:
+        excl = set(train_dict[u]) | set(test_dict[u])
+        cand = [i for i in range(num_items) if i not in excl]
+        neg_dict[u] = rng.choice(cand, size=30, replace=False).tolist()
+
+    metrics = ["Recall", "NDCG", "MRR"]
+    ev = UniEvaluator(
+        train_dict, test_dict, user_neg_test=neg_dict, metric=metrics,
+        top_k=[5, 10], batch_size=8, num_items=num_items,
+    )
+    scores_dev = jnp.asarray(scores)
+    got = ev.evaluate_raw(lambda p, u: scores_dev[u], None)
+    want = _brute_force_eval(
+        lambda u: scores[u], train_dict, test_dict, metrics, [5, 10], 10,
+        num_items, neg_dict=neg_dict,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_evaluator():
+    train_dict, test_dict, scores = _random_setup(3)
+    ev = Evaluator(
+        train_dict, test_dict, metric=["Recall"], group_view=[10, 20, 50],
+        top_k=[10], batch_size=16, num_items=scores.shape[1],
+    )
+    scores_dev = jnp.asarray(scores)
+    out = ev.evaluate(lambda p, u: scores_dev[u], None)
+    lines = [ln for ln in out.split("\n") if ln.strip()]
+    assert all("]:" in ln for ln in lines)
+    # group-weighted mean should reconstruct something sane (each line parses)
+    for ln in lines:
+        val = float(ln.split("\t")[-1])
+        assert 0.0 <= val <= 1.0
+
+
+def test_int_topk_means_range():
+    train_dict, test_dict, scores = _random_setup(4, num_users=10)
+    ev = UniEvaluator(
+        train_dict, test_dict, metric=["Recall"], top_k=10,
+        batch_size=4, num_items=scores.shape[1],
+    )
+    scores_dev = jnp.asarray(scores)
+    got = ev.evaluate_raw(lambda p, u: scores_dev[u], None)
+    assert got.shape == (1, 10)  # K from 1..10

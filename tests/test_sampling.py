@@ -1,0 +1,80 @@
+"""On-device negative sampler: exclusion correctness + uniformity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neurec_tpu.ops.sampling import is_positive, sample_negatives, sample_negatives_flat
+
+
+def _padded_rows(pos_lists, num_items):
+    L = max(len(p) for p in pos_lists)
+    rows = np.full((len(pos_lists), L), num_items, dtype=np.int32)
+    for i, p in enumerate(pos_lists):
+        rows[i, : len(p)] = np.sort(p)
+    return rows
+
+
+def test_is_positive():
+    num_items = 20
+    rows = _padded_rows([[1, 3, 5], [0, 19], [7]], num_items)
+    cands = np.array([[1, 2, 5], [19, 18, 0], [6, 7, 8]], dtype=np.int32)
+    got = np.asarray(is_positive(jnp.asarray(rows), jnp.asarray(cands)))
+    want = np.array(
+        [[True, False, True], [True, False, True], [False, True, False]]
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_exclusion_correctness():
+    rng = np.random.RandomState(0)
+    num_items = 100
+    pos_lists = [
+        rng.choice(num_items, size=rng.randint(1, 60), replace=False).tolist()
+        for _ in range(50)
+    ]
+    rows = jnp.asarray(_padded_rows(pos_lists, num_items))
+    key = jax.random.PRNGKey(0)
+    for trial in range(20):
+        key, sub = jax.random.split(key)
+        negs = np.asarray(
+            sample_negatives(sub, rows, num_items, (4,), num_rounds=32)
+        )
+        for i, pos in enumerate(pos_lists):
+            assert not set(negs[i].tolist()) & set(pos), (
+                "trial %d row %d sampled a positive" % (trial, i)
+            )
+            assert (negs[i] >= 0).all() and (negs[i] < num_items).all()
+
+
+def test_uniformity_over_non_positives():
+    # all negatives for a single user should be ~uniform over the complement
+    num_items = 50
+    pos = list(range(0, 25))  # dense user: half the catalog excluded
+    rows = jnp.asarray(_padded_rows([pos], num_items))
+    counts = np.zeros(num_items)
+    key = jax.random.PRNGKey(42)
+    n_draws = 200
+    for _ in range(n_draws):
+        key, sub = jax.random.split(key)
+        negs = np.asarray(sample_negatives(sub, rows, num_items, (64,)))
+        for n in negs.reshape(-1):
+            counts[n] += 1
+    assert counts[:25].sum() == 0
+    freq = counts[25:] / counts.sum()
+    # 25 valid items, expect 1/25 = 0.04 each; loose tolerance
+    assert freq.max() < 0.08 and freq.min() > 0.015
+
+
+def test_flat_batch_by_user_ids():
+    num_items = 30
+    pos_lists = [[0, 1, 2], [10, 11], [29]]
+    table = jnp.asarray(_padded_rows(pos_lists, num_items))
+    user_ids = jnp.asarray(np.array([0, 0, 1, 2, 2, 2], dtype=np.int32))
+    key = jax.random.PRNGKey(7)
+    negs = np.asarray(
+        sample_negatives_flat(key, user_ids, table, num_items, shape=())
+    )
+    assert negs.shape == (6,)
+    for uid, n in zip(np.asarray(user_ids), negs):
+        assert n not in pos_lists[uid]
