@@ -1,0 +1,105 @@
+"""Functional model protocol + registry.
+
+The reference gives every model a TF session, a graph-building method and a
+hand-written train loop (model/AbstractRecommender.py:38-45 and 33 nearly
+identical ``train_model`` copies). Here a model is a *pure description*:
+
+* ``init_params(rng) -> params``   — a pytree of arrays;
+* ``predict(params, users) -> (B, num_items)`` — full-catalog scores,
+  jit-traceable (the evaluator jits it);
+* ``loss(params, batch, weights) -> scalar`` — per-batch training loss,
+  jit-traceable; ``batch`` keys depend on ``data_kind``:
+    - "pairwise":        users, pos_items, neg_items
+    - "pointwise":       users, items, labels
+    - "time_pairwise":   users, recent_items, pos_items, neg_items
+    - "time_pointwise":  users, recent_items, items, labels
+    - "dense_row":       users, rows (B, num_items float)
+  ``weights`` masks padded instances (1 real / 0 pad).
+
+A single Trainer (neurec_tpu/trainer.py) owns sampling, the optimizer, the
+epoch loop and evaluation for every model.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Type
+
+import jax.numpy as jnp
+
+
+class Recommender:
+    """Base class: hyperparameter capture + protocol stubs."""
+
+    data_kind: str = "pairwise"
+    # models whose samplers need time-ordered user dicts (SeqAbstractRecommender)
+    needs_time: bool = False
+
+    def __init__(self, dataset, config):
+        self.num_users = dataset.num_users
+        self.num_items = dataset.num_items
+        self.batch_size = int(config.get("batch_size", 512))
+        self.epochs = int(config.get("epochs", 100))
+        self.verbose = int(config.get("verbose", 1))
+        self.learner = config.get("learner", "adam")
+        self.learning_rate = float(config.get("learning_rate", config.get("lr", 0.001)))
+        self.num_negatives = int(config.get("num_negatives", 1))
+
+    # -- protocol ----------------------------------------------------------
+    def init_params(self, rng):
+        raise NotImplementedError
+
+    def predict(self, params, users) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def loss(self, params, batch: Dict[str, jnp.ndarray], weights) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def param_shardings(self, mesh):
+        """Optional pytree of NamedSharding matching init_params' structure.
+
+        Return None (default) to replicate everything. Embedding-table models
+        override this to row-shard their tables over the 'model' mesh axis.
+        """
+        return None
+
+
+_REGISTRY: Dict[str, Type[Recommender]] = {}
+
+
+def register(name: str):
+    def deco(cls):
+        _REGISTRY[name] = cls
+        cls.name = name
+        return cls
+    return deco
+
+
+def get_model(name: str) -> Type[Recommender]:
+    """Resolve a model class by name, importing model families lazily.
+
+    Mirrors main.py:30-40's importlib probing of
+    model.{general,social,sequential}_recommender.<name>.
+    """
+    if name not in _REGISTRY:
+        import importlib
+
+        for family in ("general", "sequential", "social"):
+            try:
+                importlib.import_module("neurec_tpu.models." + family)
+            except ImportError:
+                pass
+    if name not in _REGISTRY:
+        raise ImportError("Recommender '%s' is not found" % name)
+    return _REGISTRY[name]
+
+
+def registered_models():
+    # import all families so the listing is complete
+    import importlib
+
+    for family in ("general", "sequential", "social"):
+        try:
+            importlib.import_module("neurec_tpu.models." + family)
+        except ImportError:
+            pass
+    return sorted(_REGISTRY)

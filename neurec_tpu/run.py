@@ -1,0 +1,48 @@
+"""Entry point: ``python -m neurec_tpu.run --recommender=MF [--k=v ...]``.
+
+Parity with the reference main.py:10-45: fixed seeds, properties + CLI
+config, dataset load, model resolution by name, train. The TF session and
+GPU selection are replaced by JAX device discovery (TPU by default) and an
+optional ('data','model') mesh.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import numpy as np
+
+from neurec_tpu.config import Config
+from neurec_tpu.data.dataset import Dataset
+from neurec_tpu.logging import run_logger
+from neurec_tpu.models import get_model
+from neurec_tpu.trainer import Trainer
+from neurec_tpu.parallel.mesh import make_mesh
+
+
+def main(properties: str = "NeuRec.properties", cmd_args=None):
+    np.random.seed(2018)
+    random.seed(2018)
+
+    conf = Config(properties, default_section="hyperparameters", cmd_args=cmd_args)
+    dataset = Dataset(conf)
+    model_cls = get_model(conf["recommender"])
+    model = model_cls(dataset, conf)
+
+    mesh = None
+    n_model = conf.get("mesh.model_axis", 1)
+    import jax
+
+    if len(jax.devices()) > 1 or n_model > 1:
+        mesh = make_mesh(n_model=n_model)
+
+    logger = run_logger(conf, dataset.dataset_name)
+    logger.info(str(dataset))
+    trainer = Trainer(model, dataset, conf, mesh=mesh, logger=logger)
+    result = trainer.train()
+    return trainer, result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,301 @@
+"""Shared training driver: one jitted epoch per model family.
+
+Replaces the reference's 33 hand-copied ``train_model`` loops (e.g.
+model/general_recommender/MF.py:85-113) and its host-side per-epoch
+Cython negative sampling (data/sampler.py:71-90) with a single design:
+
+* the whole epoch is ONE jitted function — ``lax.scan`` over batches with
+  on-device shuffling (``jax.random.permutation``) and on-device negative
+  sampling (ops/sampling.py) fused into each step;
+* the host loop is a thin driver that logs and periodically evaluates,
+  preserving the reference's log-line formats
+  ("[iter %d : loss : %f, time: %f]", "epoch %d:\t<results>").
+
+Epoch semantics parity:
+
+* pairwise (PairwiseSampler, data/sampler.py:158-213): every train positive
+  appears exactly once per epoch with one fresh uniform negative excluded
+  from the user's positives; instances shuffled each epoch.
+* pointwise (PointwiseSampler, data/sampler.py:93-155): every positive
+  yields 1 positive instance + ``num_negatives`` negative instances, all
+  shuffled together.
+* time_* variants add the ``high_order`` recent-item context
+  (data/sampler.py:216-354).
+* dense_row: per-user interaction rows built on device by scatter from the
+  padded positives (the reference feeds host-built dense batches,
+  MultiVAE.py:152-165).
+
+Losses keep the reference's sum-reduction; padded tail instances get weight
+0 so the final partial batch matches the reference's smaller last batch.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neurec_tpu.data.padded import build_padded_bytime, build_padded_positives
+from neurec_tpu.eval.evaluator import Evaluator
+from neurec_tpu.logging import Logger, run_logger
+from neurec_tpu.ops.sampling import sample_negatives
+from neurec_tpu.parallel.mesh import shard_params
+
+
+def make_optimizer(learner: str, learning_rate: float, momentum: float = 0.9):
+    """Optimizer factory with the reference's choices (util/learner.py:2-17)."""
+    ln = learner.lower()
+    if ln == "adagrad":
+        return optax.adagrad(learning_rate, initial_accumulator_value=1e-8)
+    elif ln == "rmsprop":
+        return optax.rmsprop(learning_rate)
+    elif ln == "adam":
+        return optax.adam(learning_rate)
+    elif ln == "gd":
+        return optax.sgd(learning_rate)
+    elif ln == "momentum":
+        return optax.sgd(learning_rate, momentum=momentum)
+    raise ValueError("please select a suitable optimizer")
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _flat_interactions(user_dict):
+    users, items = [], []
+    for u, its in user_dict.items():
+        users.extend([u] * len(its))
+        items.extend(its)
+    return (
+        np.asarray(users, dtype=np.int32),
+        np.asarray(items, dtype=np.int32),
+    )
+
+
+def _time_order_instances(user_dict, high_order: int):
+    """(user, recent[high_order], target) instances (data/sampler.py:42-68)."""
+    users, recents, targets = [], [], []
+    for u, seq in user_dict.items():
+        n = len(seq) - high_order
+        if n <= 0:
+            continue
+        for idx in range(n):
+            users.append(u)
+            recents.append(seq[idx : idx + high_order])
+            targets.append(seq[idx + high_order])
+    return (
+        np.asarray(users, dtype=np.int32),
+        np.asarray(recents, dtype=np.int32),
+        np.asarray(targets, dtype=np.int32),
+    )
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        dataset,
+        config,
+        mesh=None,
+        logger: Optional[Logger] = None,
+        seed: int = 2018,
+    ):
+        self.model = model
+        self.dataset = dataset
+        self.config = config
+        self.mesh = mesh
+        self.seed = seed
+        self.logger = logger or run_logger(config, dataset.dataset_name)
+        self.evaluator = Evaluator.from_dataset(dataset, config)
+        self.tx = make_optimizer(model.learner, model.learning_rate)
+
+        kind = model.data_kind
+        if kind in ("pairwise", "pointwise"):
+            user_dict = dataset.get_user_train_dict()
+            self._users_flat, self._pos_flat = _flat_interactions(user_dict)
+            self._recent_flat = None
+        elif kind in ("time_pairwise", "time_pointwise"):
+            user_dict = dataset.get_user_train_dict(by_time=True)
+            self._users_flat, self._recent_flat, self._pos_flat = (
+                _time_order_instances(user_dict, getattr(model, "high_order", 1))
+            )
+        elif kind == "dense_row":
+            self._users_flat = np.asarray(
+                sorted(dataset.get_user_train_dict().keys()), dtype=np.int32
+            )
+            self._pos_flat = None
+            self._recent_flat = None
+        else:
+            raise ValueError("Trainer does not handle data_kind=%r" % kind)
+
+        padded = build_padded_positives(dataset.train_matrix)
+        self._padded_items = jnp.asarray(padded.items)
+        self._padded_lens = jnp.asarray(padded.lengths)
+        self._epoch_fn = None
+        self.params = None
+        self.opt_state = None
+
+    # -- epoch builders -----------------------------------------------------
+    def _build_epoch_fn(self):
+        kind = self.model.data_kind
+        if kind == "pairwise":
+            return self._make_sampled_epoch(pairwise=True, time_order=False)
+        elif kind == "pointwise":
+            return self._make_sampled_epoch(pairwise=False, time_order=False)
+        elif kind == "time_pairwise":
+            return self._make_sampled_epoch(pairwise=True, time_order=True)
+        elif kind == "time_pointwise":
+            return self._make_sampled_epoch(pairwise=False, time_order=True)
+        elif kind == "dense_row":
+            return self._make_dense_row_epoch()
+        raise ValueError(kind)
+
+    def _make_sampled_epoch(self, pairwise: bool, time_order: bool):
+        model = self.model
+        B = model.batch_size
+        num_items = self.num_items = model.num_items
+        users_flat = jnp.asarray(self._users_flat)
+        pos_flat = jnp.asarray(self._pos_flat)
+        recent_flat = (
+            jnp.asarray(self._recent_flat) if self._recent_flat is not None else None
+        )
+        padded_items = self._padded_items
+        N = int(users_flat.shape[0])
+        neg_num = 1 if pairwise else model.num_negatives
+        # pointwise epochs visit each positive (1 + neg_num) times
+        n_inst = N if pairwise else N * (1 + neg_num)
+        steps = _cdiv(n_inst, B)
+        n_pad = steps * B
+
+        def step(carry, xs):
+            params, opt_state = carry
+            inst, w, key = xs
+            base = inst % N if not pairwise else inst
+            users = users_flat[base]
+            pos = pos_flat[base]
+            rows = padded_items[users]
+            if pairwise:
+                negs = sample_negatives(key, rows, num_items, ())
+                batch = {"users": users, "pos_items": pos, "neg_items": negs}
+            else:
+                is_pos = inst < N
+                negs = sample_negatives(key, rows, num_items, ())
+                items = jnp.where(is_pos, pos, negs)
+                labels = is_pos.astype(jnp.float32)
+                batch = {"users": users, "items": items, "labels": labels}
+            if time_order:
+                batch["recent_items"] = recent_flat[base]
+
+            def loss_fn(p):
+                return model.loss(p, batch, w)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        def epoch(params, opt_state, key):
+            kp, kn = jax.random.split(key)
+            perm = jax.random.permutation(kp, n_pad)
+            inst = jnp.where(perm < n_inst, perm, 0).astype(jnp.int32)
+            w = (perm < n_inst).astype(jnp.float32)
+            step_keys = jax.random.split(kn, steps)
+            (params, opt_state), losses = jax.lax.scan(
+                step,
+                (params, opt_state),
+                (inst.reshape(steps, B), w.reshape(steps, B), step_keys),
+            )
+            return params, opt_state, jnp.sum(losses) / steps
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    def _make_dense_row_epoch(self):
+        model = self.model
+        B = model.batch_size
+        num_items = model.num_items
+        users_all = jnp.asarray(self._users_flat)
+        padded_items = self._padded_items
+        N = int(users_all.shape[0])
+        steps = _cdiv(N, B)
+        n_pad = steps * B
+
+        def make_rows(users):
+            rows = padded_items[users]  # (B, L) padded with num_items
+            ext = jnp.zeros((users.shape[0], num_items + 1), jnp.float32)
+            ext = ext.at[jnp.arange(users.shape[0])[:, None], rows].set(1.0)
+            return ext[:, :num_items]
+
+        def step(carry, xs):
+            params, opt_state = carry
+            idx, w, key = xs
+            users = users_all[idx]
+            batch = {
+                "users": users,
+                "rows": make_rows(users),
+                "rng": key,
+            }
+
+            def loss_fn(p):
+                return model.loss(p, batch, w)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        def epoch(params, opt_state, key):
+            kp, kn = jax.random.split(key)
+            perm = jax.random.permutation(kp, n_pad)
+            idx = jnp.where(perm < N, perm, 0).astype(jnp.int32)
+            w = (perm < N).astype(jnp.float32)
+            step_keys = jax.random.split(kn, steps)
+            (params, opt_state), losses = jax.lax.scan(
+                step,
+                (params, opt_state),
+                (idx.reshape(steps, B), w.reshape(steps, B), step_keys),
+            )
+            return params, opt_state, jnp.sum(losses) / steps
+
+        return jax.jit(epoch, donate_argnums=(0, 1))
+
+    # -- driver -------------------------------------------------------------
+    def initialize(self):
+        key = jax.random.PRNGKey(self.seed)
+        self.params = self.model.init_params(key)
+        if self.mesh is not None:
+            self.params = shard_params(
+                self.params, self.model.param_shardings(self.mesh)
+            )
+        self.opt_state = self.tx.init(self.params)
+        self._epoch_fn = self._build_epoch_fn()
+
+    def train(self):
+        if self.params is None:
+            self.initialize()
+        model = self.model
+        self.logger.info(self.evaluator.metrics_info())
+        key = jax.random.PRNGKey(self.seed + 1)
+        result = ""
+        for epoch in range(1, model.epochs + 1):
+            t0 = time.time()
+            ekey = jax.random.fold_in(key, epoch)
+            self.params, self.opt_state, loss = self._epoch_fn(
+                self.params, self.opt_state, ekey
+            )
+            loss = float(loss)
+            self.logger.info(
+                "[iter %d : loss : %f, time: %f]" % (epoch, loss, time.time() - t0)
+            )
+            if epoch % model.verbose == 0:
+                result = self.evaluate()
+                self.logger.info("epoch %d:\t%s" % (epoch, result))
+        return result
+
+    def evaluate(self) -> str:
+        return self.evaluator.evaluate(self.model.predict, self.params)
