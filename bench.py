@@ -1,0 +1,206 @@
+"""Benchmark: MF/BPR training throughput + full-catalog eval on ml-100k.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "examples/s/chip", "vs_baseline": R, ...}
+
+"ours"    = the TPU-native path: one jitted epoch, on-device shuffle +
+            negative sampling + embedding update fused via lax.scan.
+"baseline"= the reference architecture (NeuRec MF.py:85-113 +
+            data/sampler.py:71-90) re-created on the same chip: per-epoch
+            host-side numpy negative sampling with exclusion, then one
+            jitted train step per batch fed from host arrays. This isolates
+            the architectural win (fusion, no host round-trips) from the
+            hardware, since the reference's TF-1.12 stack cannot run here.
+
+Secondary fields: eval_users_per_s (fully on-device ranking eval) and its
+baseline analog (device scoring + host top-k/metrics like the reference's
+C++ evaluator, minus its thread pool).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _load_ml100k():
+    from neurec_tpu.config import Config
+    from neurec_tpu.data.dataset import Dataset
+
+    conf = Config("NeuRec.properties", default_section="hyperparameters", cmd_args=[])
+    return conf, Dataset(conf)
+
+
+def _host_sample_negatives(user_dict, num_items, rng):
+    """Reference-style per-epoch host sampling (rejection w/ exclusion)."""
+    users_out, pos_out, neg_out = [], [], []
+    for u, items in user_dict.items():
+        excl = set(items)
+        n = len(items)
+        negs = []
+        while len(negs) < n:
+            cand = rng.randint(0, num_items, size=n * 2)
+            negs.extend(c for c in cand if c not in excl)
+        users_out.extend([u] * n)
+        pos_out.extend(items)
+        neg_out.extend(negs[:n])
+    return (
+        np.asarray(users_out, np.int32),
+        np.asarray(pos_out, np.int32),
+        np.asarray(neg_out, np.int32),
+    )
+
+
+def bench_train(model, dataset, conf, n_epochs=5):
+    import jax
+
+    from neurec_tpu.trainer import Trainer
+
+    class _L:
+        def info(self, m):
+            pass
+
+        debug = warning = error = critical = info
+
+    trainer = Trainer(model, dataset, conf, logger=_L())
+    trainer.initialize()
+    key = jax.random.PRNGKey(0)
+    # compile
+    p, o, _ = trainer._epoch_fn(trainer.params, trainer.opt_state, key)
+    jax.block_until_ready(p)
+    trainer.params, trainer.opt_state = p, o
+    t0 = time.perf_counter()
+    for e in range(n_epochs):
+        trainer.params, trainer.opt_state, loss = trainer._epoch_fn(
+            trainer.params, trainer.opt_state, jax.random.fold_in(key, e)
+        )
+    jax.block_until_ready(trainer.params)
+    dt = time.perf_counter() - t0
+    n_examples = dataset.train_matrix.nnz * n_epochs
+    return n_examples / dt, trainer
+
+
+def bench_train_baseline(model, dataset, conf, n_epochs=2):
+    """Reference-architecture loop: host sampling + per-batch device steps."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from neurec_tpu.trainer import make_optimizer
+
+    tx = make_optimizer(model.learner, model.learning_rate)
+    params = model.init_params(jax.random.PRNGKey(0))
+    opt_state = tx.init(params)
+    B = model.batch_size
+
+    @jax.jit
+    def step(params, opt_state, users, pos, neg):
+        def loss_fn(p):
+            batch = {"users": users, "pos_items": pos, "neg_items": neg}
+            return model.loss(p, batch, jnp.ones_like(users, jnp.float32))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    user_dict = dataset.get_user_train_dict()
+    rng = np.random.RandomState(0)
+    # compile once
+    u, p_, n_ = _host_sample_negatives(user_dict, dataset.num_items, rng)
+    params, opt_state, _ = step(
+        params, opt_state,
+        jnp.asarray(u[:B]), jnp.asarray(p_[:B]), jnp.asarray(n_[:B]),
+    )
+    jax.block_until_ready(params)
+
+    t0 = time.perf_counter()
+    total = 0
+    for e in range(n_epochs):
+        users, pos, neg = _host_sample_negatives(user_dict, dataset.num_items, rng)
+        perm = rng.permutation(len(users))
+        users, pos, neg = users[perm], pos[perm], neg[perm]
+        for i in range(0, len(users) - B + 1, B):
+            params, opt_state, loss = step(
+                params,
+                opt_state,
+                jnp.asarray(users[i : i + B]),
+                jnp.asarray(pos[i : i + B]),
+                jnp.asarray(neg[i : i + B]),
+            )
+            total += B
+    jax.block_until_ready(params)
+    return total / (time.perf_counter() - t0)
+
+
+def bench_eval(trainer, n_rounds=3):
+    import jax
+
+    ev = trainer.evaluator.evaluator
+    # compile
+    ev.evaluate_raw(trainer.model.predict, trainer.params)
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        ev.evaluate_raw(trainer.model.predict, trainer.params)
+    dt = time.perf_counter() - t0
+    return len(ev.test_users) * n_rounds / dt
+
+
+def bench_eval_baseline(trainer, n_rounds=1):
+    """Device scoring + host masking/top-k/metrics (reference structure)."""
+    import jax.numpy as jnp
+
+    from neurec_tpu.ops.metrics_host import all_metrics_host
+
+    model, params = trainer.model, trainer.params
+    ev = trainer.evaluator.evaluator
+    train_dict = ev.user_pos_train
+    test_dict = ev.user_pos_test
+    users = ev.test_users
+    B = 128
+    t0 = time.perf_counter()
+    for _ in range(n_rounds):
+        results = []
+        for i in range(0, len(users), B):
+            batch = users[i : i + B]
+            scores = np.array(model.predict(params, jnp.asarray(batch)))
+            for j, u in enumerate(batch):
+                u = int(u)
+                if u in train_dict:
+                    scores[j, train_dict[u]] = -np.inf
+                rank = np.argpartition(-scores[j], 20)[:20]
+                rank = rank[np.argsort(-scores[j][rank], kind="stable")]
+                results.append(all_metrics_host(rank.tolist(), set(test_dict[u])))
+    dt = time.perf_counter() - t0
+    return len(users) * n_rounds / dt
+
+
+def main():
+    conf, dataset = _load_ml100k()
+    from neurec_tpu.models import get_model
+
+    model = get_model("MF")(dataset, conf)
+    train_tput, trainer = bench_train(model, dataset, conf)
+    base_tput = bench_train_baseline(model, dataset, conf)
+    eval_tput = bench_eval(trainer)
+    eval_base = bench_eval_baseline(trainer)
+
+    print(
+        json.dumps(
+            {
+                "metric": "MF-BPR train throughput (ml-100k, fused jitted epoch)",
+                "value": round(train_tput, 1),
+                "unit": "examples/s/chip",
+                "vs_baseline": round(train_tput / base_tput, 2),
+                "baseline_examples_per_s": round(base_tput, 1),
+                "eval_users_per_s": round(eval_tput, 1),
+                "eval_users_per_s_baseline": round(eval_base, 1),
+                "eval_speedup": round(eval_tput / eval_base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
