@@ -68,13 +68,13 @@ def bench_train(model, dataset, conf, n_epochs=5):
     trainer.initialize()
     key = jax.random.PRNGKey(0)
     # compile
-    p, o, _ = trainer._epoch_fn(trainer.params, trainer.opt_state, key)
+    p, o, _ = trainer._epoch_fn(trainer.params, trainer.opt_state, key, 1)
     jax.block_until_ready(p)
     trainer.params, trainer.opt_state = p, o
     t0 = time.perf_counter()
     for e in range(n_epochs):
         trainer.params, trainer.opt_state, loss = trainer._epoch_fn(
-            trainer.params, trainer.opt_state, jax.random.fold_in(key, e)
+            trainer.params, trainer.opt_state, jax.random.fold_in(key, e), e + 1
         )
     jax.block_until_ready(trainer.params)
     dt = time.perf_counter() - t0

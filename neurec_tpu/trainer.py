@@ -131,6 +131,10 @@ class Trainer:
             )
             self._pos_flat = None
             self._recent_flat = None
+        elif kind == "none":
+            self._users_flat = None
+            self._pos_flat = None
+            self._recent_flat = None
         else:
             raise ValueError("Trainer does not handle data_kind=%r" % kind)
 
@@ -154,6 +158,8 @@ class Trainer:
             return self._make_sampled_epoch(pairwise=False, time_order=True)
         elif kind == "dense_row":
             return self._make_dense_row_epoch()
+        elif kind == "none":
+            return None
         raise ValueError(kind)
 
     def _make_sampled_epoch(self, pairwise: bool, time_order: bool):
@@ -200,7 +206,8 @@ class Trainer:
             params = optax.apply_updates(params, updates)
             return (params, opt_state), loss
 
-        def epoch(params, opt_state, key):
+        def epoch(params, opt_state, key, epoch_idx):
+            del epoch_idx  # sampled epochs have no global-step dependence
             kp, kn = jax.random.split(key)
             perm = jax.random.permutation(kp, n_pad)
             inst = jnp.where(perm < n_inst, perm, 0).astype(jnp.int32)
@@ -232,13 +239,14 @@ class Trainer:
             return ext[:, :num_items]
 
         def step(carry, xs):
-            params, opt_state = carry
+            params, opt_state, gstep = carry
             idx, w, key = xs
             users = users_all[idx]
             batch = {
                 "users": users,
                 "rows": make_rows(users),
                 "rng": key,
+                "step": gstep,
             }
 
             def loss_fn(p):
@@ -247,17 +255,18 @@ class Trainer:
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
+            return (params, opt_state, gstep + 1), loss
 
-        def epoch(params, opt_state, key):
+        def epoch(params, opt_state, key, epoch_idx):
             kp, kn = jax.random.split(key)
             perm = jax.random.permutation(kp, n_pad)
             idx = jnp.where(perm < N, perm, 0).astype(jnp.int32)
             w = (perm < N).astype(jnp.float32)
             step_keys = jax.random.split(kn, steps)
-            (params, opt_state), losses = jax.lax.scan(
+            gstep0 = (epoch_idx.astype(jnp.int32) - 1) * steps
+            (params, opt_state, _), losses = jax.lax.scan(
                 step,
-                (params, opt_state),
+                (params, opt_state, gstep0),
                 (idx.reshape(steps, B), w.reshape(steps, B), step_keys),
             )
             return params, opt_state, jnp.sum(losses) / steps
@@ -280,13 +289,17 @@ class Trainer:
             self.initialize()
         model = self.model
         self.logger.info(self.evaluator.metrics_info())
+        if model.data_kind == "none" or model.epochs == 0:
+            result = self.evaluate()
+            self.logger.info("result:\t%s" % result)
+            return result
         key = jax.random.PRNGKey(self.seed + 1)
         result = ""
         for epoch in range(1, model.epochs + 1):
             t0 = time.time()
             ekey = jax.random.fold_in(key, epoch)
             self.params, self.opt_state, loss = self._epoch_fn(
-                self.params, self.opt_state, ekey
+                self.params, self.opt_state, ekey, jnp.int32(epoch)
             )
             loss = float(loss)
             self.logger.info(

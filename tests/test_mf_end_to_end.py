@@ -73,7 +73,7 @@ def test_loss_decreases(trained):
     losses = []
     for e in range(8):
         trainer2.params, trainer2.opt_state, loss = trainer2._epoch_fn(
-            trainer2.params, trainer2.opt_state, jax.random.fold_in(key, e)
+            trainer2.params, trainer2.opt_state, jax.random.fold_in(key, e), e + 1
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.9

@@ -1,0 +1,119 @@
+"""Smoke + learning tests across the model zoo.
+
+Every registered model must: initialize, run a few jitted epochs with finite
+decreasing loss, produce (B, num_items) predictions, and run the full
+evaluator. Flagship-quality thresholds live in dedicated tests.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from neurec_tpu.data.dataset import Dataset
+from neurec_tpu.models import get_model
+from neurec_tpu.trainer import Trainer
+from tests.helpers import make_config, make_synthetic_dataset
+
+
+class SilentLogger:
+    def info(self, msg):
+        pass
+
+    debug = warning = error = critical = info
+
+
+MODEL_PROPS = {
+    "MF": {
+        "epochs": 3, "batch_size": 128, "embedding_size": 8, "reg_mf": 0.01,
+        "learning_rate": 0.05, "learner": "adam", "num_negatives": 1,
+        "is_pairwise": "True", "loss_function": "bpr",
+        "init_method": "normal", "stddev": 0.01, "verbose": 3,
+    },
+    "MLP": {
+        "epochs": 3, "batch_size": 128, "layers": "[16,8]", "reg_mlp": 0.0,
+        "learning_rate": 0.01, "learner": "adam", "num_neg": 2,
+        "is_pairwise": "True", "loss_function": "bpr",
+        "init_method": "normal", "stddev": 0.01, "verbose": 3,
+    },
+    "NeuMF": {
+        "epochs": 3, "batch_size": 128, "embedding_size": 8,
+        "layers": "[16,8]", "reg_mf": 0.0, "reg_mlp": 0.0,
+        "learning_rate": 0.01, "learner": "adam", "num_neg": 2,
+        "is_pairwise": "False", "loss_function": "cross_entropy",
+        "init_method": "normal", "stddev": 0.01, "verbose": 3,
+        "mf_pretrain": "", "mlp_pretrain": "",
+    },
+    "Pop": {"epochs": 0, "batch_size": 128, "verbose": 1},
+    "MultiVAE": {
+        "epochs": 3, "batch_size": 32, "p_dim": "[8,16]", "reg": 0.0,
+        "learning_rate": 0.01, "learner": "adam", "activation": "tanh",
+        "anneal_cap": 0.2, "total_anneal_steps": 20,
+        "weight_init_method": "xavier_normal", "bias_init_method": "tnormal",
+        "stddev": 0.01, "verbose": 3,
+    },
+    "MultiDAE": {
+        "epochs": 3, "batch_size": 32, "p_dim": "[8,16]", "reg": 0.0,
+        "learning_rate": 0.01, "learner": "adam", "activation": "tanh",
+        "weight_init_method": "xavier_normal", "bias_init_method": "tnormal",
+        "stddev": 0.01, "verbose": 3,
+    },
+    "DAE": {
+        "epochs": 3, "batch_size": 32, "hidden_neuron": 16,
+        "h_act": "sigmoid", "g_act": "sigmoid", "reg": 0.0,
+        "learning_rate": 0.01, "learner": "adam", "corruption_level": 0.1,
+        "init_method": "normal", "stddev": 0.01, "verbose": 3,
+    },
+    "CDAE": {
+        "epochs": 3, "batch_size": 32, "hidden_dim": 16, "lr": 0.01,
+        "reg": 0.001, "dropout": 0.5, "num_neg": 2,
+        "hidden_act": "sigmoid", "loss_func": "sigmoid_cross_entropy",
+        "learner": "adam", "verbose": 3,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def zoo_dataset(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("zoo")
+    make_synthetic_dataset(tmp_path)
+    return tmp_path
+
+
+@pytest.mark.parametrize("name", sorted(MODEL_PROPS))
+def test_model_smoke(zoo_dataset, name):
+    conf = make_config(zoo_dataset, recommender=name, alg_props=MODEL_PROPS[name])
+    dataset = Dataset(conf)
+    model = get_model(name)(dataset, conf)
+    trainer = Trainer(model, dataset, conf, logger=SilentLogger())
+    trainer.initialize()
+
+    if model.data_kind != "none" and model.epochs > 0:
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for e in range(3):
+            trainer.params, trainer.opt_state, loss = trainer._epoch_fn(
+                trainer.params, trainer.opt_state, jax.random.fold_in(key, e), e + 1
+            )
+            losses.append(float(loss))
+        assert all(np.isfinite(losses)), losses
+        assert losses[-1] <= losses[0], losses
+
+    import jax.numpy as jnp
+
+    preds = trainer.model.predict(trainer.params, jnp.arange(5, dtype=jnp.int32))
+    assert preds.shape == (5, dataset.num_items)
+    assert np.isfinite(np.asarray(preds)).all()
+
+    result = trainer.evaluate()
+    assert len(result.split("\t")) == 10
+
+
+def test_multivae_learns(zoo_dataset):
+    props = dict(MODEL_PROPS["MultiVAE"], epochs=40, learning_rate=0.01)
+    conf = make_config(zoo_dataset, recommender="MultiVAE", alg_props=props)
+    dataset = Dataset(conf)
+    model = get_model("MultiVAE")(dataset, conf)
+    trainer = Trainer(model, dataset, conf, logger=SilentLogger())
+    trainer.train()
+    raw = trainer.evaluator.evaluator.evaluate_raw(model.predict, trainer.params)
+    assert raw[2, 0] > 0.12, "MultiVAE NDCG@10=%.4f" % raw[2, 0]

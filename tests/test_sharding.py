@@ -80,7 +80,7 @@ def test_sharded_matches_single_device(tmp_path):
         key = jax.random.PRNGKey(3)
         for e in range(3):
             tr.params, tr.opt_state, loss = tr._epoch_fn(
-                tr.params, tr.opt_state, jax.random.fold_in(key, e)
+                tr.params, tr.opt_state, jax.random.fold_in(key, e), e + 1
             )
         results.append(np.asarray(tr.params["item_emb"]))
     np.testing.assert_allclose(results[0], results[1], rtol=5e-3, atol=1e-4)
