@@ -182,19 +182,22 @@ class Trainer:
         def step(carry, xs):
             params, opt_state = carry
             inst, w, key = xs
+            k_neg, k_model = jax.random.split(key)
             base = inst % N if not pairwise else inst
             users = users_flat[base]
             pos = pos_flat[base]
             rows = padded_items[users]
             if pairwise:
-                negs = sample_negatives(key, rows, num_items, ())
-                batch = {"users": users, "pos_items": pos, "neg_items": negs}
+                negs = sample_negatives(k_neg, rows, num_items, ())
+                batch = {"users": users, "pos_items": pos, "neg_items": negs,
+                         "rng": k_model}
             else:
                 is_pos = inst < N
-                negs = sample_negatives(key, rows, num_items, ())
+                negs = sample_negatives(k_neg, rows, num_items, ())
                 items = jnp.where(is_pos, pos, negs)
                 labels = is_pos.astype(jnp.float32)
-                batch = {"users": users, "items": items, "labels": labels}
+                batch = {"users": users, "items": items, "labels": labels,
+                         "rng": k_model}
             if time_order:
                 batch["recent_items"] = recent_flat[base]
 
