@@ -1,0 +1,92 @@
+"""Sequential family: smoke + learning tests (time-order sampled models)."""
+
+import jax
+import numpy as np
+import pytest
+
+from neurec_tpu.data.dataset import Dataset
+from neurec_tpu.models import get_model
+from neurec_tpu.trainer import Trainer
+from tests.helpers import make_config, make_synthetic_dataset
+
+
+class SilentLogger:
+    def info(self, msg):
+        pass
+
+    debug = warning = error = critical = info
+
+
+SEQ_PROPS = {
+    "FPMC": {
+        "epochs": 3, "batch_size": 256, "embedding_size": 8, "reg_mf": 0.01,
+        "learning_rate": 0.01, "learner": "adam", "is_pairwise": "True",
+        "num_neg": 2, "loss_function": "bpr", "init_method": "uniform",
+        "stddev": 0.01, "verbose": 3,
+    },
+    "FPMCplus": {
+        "epochs": 3, "batch_size": 128, "embedding_size": 8,
+        "weight_size": 8, "high_order": 3, "reg_mf": 0.00001,
+        "reg_w": 0.001, "learning_rate": 0.01, "learner": "adam",
+        "is_pairwise": "True", "num_neg": 2, "loss_function": "BPR",
+        "embed_init_method": "tnormal", "weight_init_method": "he_normal",
+        "stddev": 0.01, "verbose": 3,
+    },
+    "HRM": {
+        "epochs": 3, "batch_size": 256, "embedding_size": 8, "reg_mf": 0,
+        "topK": 10, "learning_rate": 0.01, "learner": "adam",
+        "pre_agg": "max", "session_agg": "max", "high_order": 2,
+        "num_neg": 2, "loss_function": "cross_entropy",
+        "init_method": "normal", "stddev": 0.01, "verbose": 3,
+    },
+    "NPE": {
+        "epochs": 3, "batch_size": 256, "embedding_size": 8, "reg": 0.01,
+        "learning_rate": 0.01, "learner": "adam", "high_order": 3,
+        "num_neg": 2, "loss_function": "cross_entropy",
+        "init_method": "tnormal", "stddev": 0.01, "verbose": 3,
+    },
+    "TransRec": {
+        "epochs": 3, "batch_size": 256, "embedding_size": 8, "reg_mf": 0.0,
+        "learning_rate": 0.01, "learner": "adam", "is_pairwise": "True",
+        "num_neg": 2, "loss_function": "bpr", "init_method": "tnormal",
+        "stddev": 0.01, "verbose": 3,
+    },
+}
+
+
+@pytest.fixture(scope="module")
+def seq_dataset(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("seq")
+    make_synthetic_dataset(tmp_path, num_users=50, num_items=60)
+    return tmp_path
+
+
+@pytest.mark.parametrize("name", sorted(SEQ_PROPS))
+def test_sequential_model_smoke(seq_dataset, name):
+    conf = make_config(seq_dataset, recommender=name, alg_props=SEQ_PROPS[name])
+    dataset = Dataset(conf)
+    model = get_model(name)(dataset, conf)
+    trainer = Trainer(model, dataset, conf, logger=SilentLogger())
+    trainer.initialize()
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for e in range(3):
+        trainer.params, trainer.opt_state, loss = trainer._epoch_fn(
+            trainer.params, trainer.opt_state, jax.random.fold_in(key, e), e + 1
+        )
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] <= losses[0], losses
+    result = trainer.evaluate()
+    assert len(result.split("\t")) == 10
+
+
+def test_fpmc_learns(seq_dataset):
+    props = dict(SEQ_PROPS["FPMC"], epochs=25, learning_rate=0.05, verbose=25)
+    conf = make_config(seq_dataset, recommender="FPMC", alg_props=props)
+    dataset = Dataset(conf)
+    model = get_model("FPMC")(dataset, conf)
+    trainer = Trainer(model, dataset, conf, logger=SilentLogger())
+    trainer.train()
+    raw = trainer.evaluator.evaluator.evaluate_raw(model.predict, trainer.params)
+    assert raw[2, 0] > 0.12, "FPMC NDCG@10=%.4f" % raw[2, 0]
