@@ -1,0 +1,275 @@
+"""GRU4Rec — session-based RNN recommendation (Hidasi et al., ICLR 2016).
+
+Parity with model/sequential_recommender/GRU4Rec.py:20-250:
+
+* session-parallel minibatching: B user streams advance in lockstep, a
+  finished stream is replaced by the next user and its GRU state reset
+  (GRU4Rec.py:134-177). Here the whole schedule — (input item, output item,
+  reset mask) per step — is precomputed on the host per epoch and the
+  epoch runs as ONE jitted lax.scan carrying the stacked GRU state;
+* stacked tf-style GRU cells (gate bias init 1.0, candidate act =
+  hidden_act) over input item embeddings;
+* in-batch negatives: logits = out @ emb(Y)^T + b(Y), final_act applied,
+  loss = bpr (mean log-loss against all batch items, diagonal included)
+  or top1 (GRU4Rec.py:85-101);
+* reg * l2(input embeddings, output embeddings, biases of the batch);
+* eval: replay each user's history through the GRU for a final state;
+  scores = state @ item_emb^T + bias, final_act applied
+  (GRU4Rec.py:179-225). Here replay is a masked scan over padded
+  sequences per eval batch.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neurec_tpu.data.sequences import pad_sequences
+from neurec_tpu.models.base import Recommender, register
+from neurec_tpu.ops.losses import l2_loss, log_loss
+
+
+def _init_gru(rng, in_dim: int, units: int) -> dict:
+    xavier = jax.nn.initializers.glorot_uniform()
+    k1, k2 = jax.random.split(rng)
+    return {
+        # [x, h] -> 2*units (reset & update gates); tf bias init 1.0
+        "w_gate": xavier(k1, (in_dim + units, 2 * units)),
+        "b_gate": jnp.ones((2 * units,)),
+        # [x, r*h] -> units (candidate)
+        "w_cand": xavier(k2, (in_dim + units, units)),
+        "b_cand": jnp.zeros((units,)),
+    }
+
+
+def _gru_step(params: dict, act, x, h):
+    gates = jax.nn.sigmoid(
+        jnp.concatenate([x, h], axis=-1) @ params["w_gate"] + params["b_gate"]
+    )
+    r, u = jnp.split(gates, 2, axis=-1)
+    c = act(jnp.concatenate([x, r * h], axis=-1) @ params["w_cand"] + params["b_cand"])
+    return u * h + (1.0 - u) * c
+
+
+@register("GRU4Rec")
+class GRU4Rec(Recommender):
+    needs_time = True
+    data_kind = "custom"
+
+    def __init__(self, dataset, config):
+        super().__init__(dataset, config)
+        self.lr = float(config.get("lr", 1e-4))
+        self.reg = float(config.get("reg", 0.0))
+        self.layers = list(config.get("layers", [100]))
+        act = config.get("hidden_act", "tanh")
+        self.hidden_act = {"relu": jax.nn.relu, "tanh": jnp.tanh}[act]
+        self.final_act_name = config.get("final_act", "linear")
+        self.loss_name = config.get("loss", "top1")
+        if self.loss_name not in ("bpr", "top1"):
+            raise ValueError("There is no loss named '%s'." % self.loss_name)
+
+        train_dict = dataset.get_user_train_dict(by_time=True)
+        self._user_seqs = [train_dict.get(u, []) for u in range(self.num_users)]
+        max_len = max((len(s) for s in self._user_seqs), default=1)
+        self._eval_seq = jnp.asarray(pad_sequences(
+            self._user_seqs, value=self.num_items, max_len=max_len, padding="post"
+        ))
+        self._sched_len = None  # static schedule length, grown on demand
+
+    def _final_act(self, x):
+        if self.final_act_name == "relu":
+            return jax.nn.relu(x)
+        elif self.final_act_name == "leaky_relu":
+            return jnp.maximum(x, 0.2 * x)
+        return x
+
+    def make_optimizer(self):
+        return optax.adam(self.lr)
+
+    def init_params(self, rng):
+        tn = jax.nn.initializers.truncated_normal(0.01)
+        rng, k1, k2 = jax.random.split(rng, 3)
+        params = {
+            "input_emb": tn(k1, (self.num_items, self.layers[0])),
+            "item_emb": tn(k2, (self.num_items, self.layers[-1])),
+            "item_bias": jnp.zeros((self.num_items,)),
+            "cells": [],
+        }
+        in_dim = self.layers[0]
+        for units in self.layers:
+            rng, k = jax.random.split(rng)
+            params["cells"].append(_init_gru(k, in_dim, units))
+            in_dim = units
+        return params
+
+    # -- session-parallel schedule (host) -----------------------------------
+    def _build_schedule(self, perm: np.ndarray, B: int):
+        """Arrays (steps, B): in items, out items, reset mask, validity."""
+        seqs = [self._user_seqs[u] for u in perm if len(self._user_seqs[u]) >= 2]
+        ins, outs, resets, valids = [], [], [], []
+        pos = np.zeros(B, dtype=np.int64)    # next transition index per stream
+        cur = np.full(B, -1, dtype=np.int64)  # which seq each stream runs
+        next_seq = 0
+        alive = np.zeros(B, dtype=bool)
+        reset_row = np.ones(B, dtype=bool)
+        for b in range(B):
+            if next_seq < len(seqs):
+                cur[b] = next_seq
+                alive[b] = True
+                next_seq += 1
+        while alive.any():
+            in_row = np.zeros(B, dtype=np.int32)
+            out_row = np.zeros(B, dtype=np.int32)
+            valid_row = alive.copy()
+            for b in range(B):
+                if alive[b]:
+                    s = seqs[cur[b]]
+                    in_row[b] = s[pos[b]]
+                    out_row[b] = s[pos[b] + 1]
+            ins.append(in_row)
+            outs.append(out_row)
+            resets.append(reset_row.copy())
+            valids.append(valid_row)
+            reset_row = np.zeros(B, dtype=bool)
+            pos += alive
+            for b in range(B):
+                if alive[b] and pos[b] + 1 >= len(seqs[cur[b]]):
+                    reset_row[b] = True
+                    if next_seq < len(seqs):
+                        cur[b] = next_seq
+                        pos[b] = 0
+                        next_seq += 1
+                    else:
+                        alive[b] = False
+        return (
+            np.stack(ins) if ins else np.zeros((0, B), np.int32),
+            np.stack(outs) if outs else np.zeros((0, B), np.int32),
+            np.stack(resets) if resets else np.zeros((0, B), bool),
+            np.stack(valids) if valids else np.zeros((0, B), bool),
+        )
+
+    def _loss_from_logits(self, logits, valid, B):
+        """logits (B, B); valid (B,) masks dead streams."""
+        pos = jnp.diagonal(logits)[:, None]                  # (B,1)
+        vv = valid[:, None] * valid[None, :]                 # (B,B)
+        denom = jnp.maximum(jnp.sum(vv), 1.0)
+        if self.loss_name == "bpr":
+            return jnp.sum(log_loss(pos - logits) * vv) / denom
+        # top1
+        nvalid = jnp.maximum(jnp.sum(valid[None, :], axis=1), 1.0)
+        loss1 = jnp.sum(jax.nn.sigmoid(-pos + logits) * vv, axis=1) / nvalid
+        loss2 = jnp.sum(jax.nn.sigmoid(jnp.square(logits)) * vv, axis=1) / nvalid - (
+            jax.nn.sigmoid(jnp.square(pos[:, 0])) / B
+        )
+        return jnp.sum((loss1 + loss2) * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+    def build_epoch(self, trainer):
+        B = self.batch_size
+        tx = trainer.tx
+        model = self
+
+        def make_epoch_jit(steps):
+            def step(carry, xs):
+                params, opt_state, states = carry
+                in_i, out_i, reset, valid = xs
+                # reset finished streams' state
+                states = [s * (1.0 - reset[:, None]) for s in states]
+
+                def loss_fn(p):
+                    x = p["input_emb"][in_i]
+                    new_states = []
+                    h = x
+                    for cell, s in zip(p["cells"], states):
+                        h = _gru_step(cell, model.hidden_act, h, s)
+                        new_states.append(h)
+                    items_embed = p["item_emb"][out_i]       # (B, d)
+                    items_bias = p["item_bias"][out_i]
+                    logits = model._final_act(h @ items_embed.T + items_bias)
+                    loss = model._loss_from_logits(logits, valid, B)
+                    reg = model.reg * l2_loss(
+                        x * valid[:, None],
+                        items_embed * valid[:, None],
+                        items_bias * valid,
+                    )
+                    return loss + reg, new_states
+
+                (loss, new_states), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, new_states), loss
+
+            def epoch(params, opt_state, ins, outs, resets, valids):
+                states = [jnp.zeros((B, n)) for n in model.layers]
+                (params, opt_state, _), losses = jax.lax.scan(
+                    step, (params, opt_state, states), (ins, outs, resets, valids)
+                )
+                n_valid = jnp.maximum(jnp.sum(jnp.any(valids, axis=1)), 1)
+                return params, opt_state, jnp.sum(losses) / n_valid
+
+            return jax.jit(epoch, donate_argnums=(0, 1))
+
+        jit_cache = {}
+
+        def epoch_fn(params, opt_state, key, epoch_idx):
+            del epoch_idx
+            seed = int(jax.random.randint(key, (), 0, 2 ** 31 - 1))
+            perm = np.random.RandomState(seed).permutation(self.num_users)
+            ins, outs, resets, valids = self._build_schedule(perm, B)
+            # pad to a persistent static length to avoid recompiles
+            if self._sched_len is None or ins.shape[0] > self._sched_len:
+                self._sched_len = ((ins.shape[0] + 127) // 128) * 128
+            L = self._sched_len
+            pad = L - ins.shape[0]
+            ins = np.pad(ins, ((0, pad), (0, 0)))
+            outs = np.pad(outs, ((0, pad), (0, 0)))
+            resets = np.pad(resets, ((0, pad), (0, 0)), constant_values=True)
+            valids = np.pad(valids, ((0, pad), (0, 0)))
+            if L not in jit_cache:
+                jit_cache[L] = make_epoch_jit(L)
+            return jit_cache[L](
+                params,
+                opt_state,
+                jnp.asarray(ins),
+                jnp.asarray(outs),
+                jnp.asarray(resets.astype(np.float32)),
+                jnp.asarray(valids.astype(np.float32)),
+            )
+
+        return epoch_fn
+
+    def loss(self, params, batch, weights):
+        raise RuntimeError("GRU4Rec uses build_epoch (data_kind='custom')")
+
+    def _user_states(self, params, users):
+        """Replay padded histories -> final stacked-GRU output state."""
+        seq = self._eval_seq[users]                          # (B, T)
+        B, T = seq.shape
+        valid = (seq != self.num_items).astype(jnp.float32)
+        safe = jnp.minimum(seq, self.num_items - 1)
+        xs = params["input_emb"][safe]                       # (B, T, d)
+
+        def step(states, xs_t):
+            x_t, v_t = xs_t
+            h = x_t
+            new_states = []
+            for cell, s in zip(params["cells"], states):
+                h_new = _gru_step(cell, self.hidden_act, h, s)
+                h = jnp.where(v_t[:, None] > 0, h_new, s)
+                new_states.append(h)
+            return new_states, None
+
+        states = [jnp.zeros((B, n)) for n in self.layers]
+        states, _ = jax.lax.scan(
+            step, states, (jnp.moveaxis(xs, 1, 0), valid.T)
+        )
+        return states[-1]
+
+    def predict(self, params, users):
+        state = self._user_states(params, users)
+        return self._final_act(state @ params["item_emb"].T + params["item_bias"])

@@ -113,7 +113,10 @@ class Trainer:
         self.seed = seed
         self.logger = logger or run_logger(config, dataset.dataset_name)
         self.evaluator = Evaluator.from_dataset(dataset, config)
-        self.tx = make_optimizer(model.learner, model.learning_rate)
+        if hasattr(model, "make_optimizer"):
+            self.tx = model.make_optimizer()
+        else:
+            self.tx = make_optimizer(model.learner, model.learning_rate)
 
         kind = model.data_kind
         if kind in ("pairwise", "pointwise"):
@@ -131,7 +134,8 @@ class Trainer:
             )
             self._pos_flat = None
             self._recent_flat = None
-        elif kind == "none":
+        elif kind in ("none", "custom"):
+            # 'custom': the model supplies build_epoch(trainer) -> epoch_fn
             self._users_flat = None
             self._pos_flat = None
             self._recent_flat = None
@@ -158,6 +162,8 @@ class Trainer:
             return self._make_sampled_epoch(pairwise=False, time_order=True)
         elif kind == "dense_row":
             return self._make_dense_row_epoch()
+        elif kind == "custom":
+            return self.model.build_epoch(self)
         elif kind == "none":
             return None
         raise ValueError(kind)

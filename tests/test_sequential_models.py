@@ -45,6 +45,16 @@ SEQ_PROPS = {
         "num_neg": 2, "loss_function": "cross_entropy",
         "init_method": "tnormal", "stddev": 0.01, "verbose": 3,
     },
+    "SASRec": {
+        "lr": 0.01, "l2_emb": 0.0, "hidden_units": 16, "dropout_rate": 0.2,
+        "max_len": 12, "num_blocks": 2, "num_heads": 2, "batch_size": 32,
+        "epochs": 3, "verbose": 3,
+    },
+    "GRU4Rec": {
+        "lr": 0.01, "reg": 0.0, "layers": "[16]", "batch_size": 16,
+        "loss": "top1", "hidden_act": "tanh", "final_act": "linear",
+        "epochs": 3, "verbose": 3,
+    },
     "TransRec": {
         "epochs": 3, "batch_size": 256, "embedding_size": 8, "reg_mf": 0.0,
         "learning_rate": 0.01, "learner": "adam", "is_pairwise": "True",
@@ -90,3 +100,15 @@ def test_fpmc_learns(seq_dataset):
     trainer.train()
     raw = trainer.evaluator.evaluator.evaluate_raw(model.predict, trainer.params)
     assert raw[2, 0] > 0.12, "FPMC NDCG@10=%.4f" % raw[2, 0]
+
+
+def test_sasrec_learns(seq_dataset):
+    props = dict(SEQ_PROPS["SASRec"], epochs=20, lr=0.01, verbose=20,
+                 dropout_rate=0.1)
+    conf = make_config(seq_dataset, recommender="SASRec", alg_props=props)
+    dataset = Dataset(conf)
+    model = get_model("SASRec")(dataset, conf)
+    trainer = Trainer(model, dataset, conf, logger=SilentLogger())
+    trainer.train()
+    raw = trainer.evaluator.evaluator.evaluate_raw(model.predict, trainer.params)
+    assert raw[2, 0] > 0.10, "SASRec NDCG@10=%.4f" % raw[2, 0]
