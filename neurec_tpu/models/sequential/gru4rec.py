@@ -59,6 +59,7 @@ def _gru_step(params: dict, act, x, h):
 class GRU4Rec(Recommender):
     needs_time = True
     data_kind = "custom"
+    _valid_losses = ("top1", "bpr")
 
     def __init__(self, dataset, config):
         super().__init__(dataset, config)
@@ -68,8 +69,8 @@ class GRU4Rec(Recommender):
         act = config.get("hidden_act", "tanh")
         self.hidden_act = {"relu": jax.nn.relu, "tanh": jnp.tanh}[act]
         self.final_act_name = config.get("final_act", "linear")
-        self.loss_name = config.get("loss", "top1")
-        if self.loss_name not in ("bpr", "top1"):
+        self.loss_name = config.get("loss", self._valid_losses[0])
+        if self.loss_name not in self._valid_losses:
             raise ValueError("There is no loss named '%s'." % self.loss_name)
 
         train_dict = dataset.get_user_train_dict(by_time=True)
@@ -152,20 +153,26 @@ class GRU4Rec(Recommender):
             np.stack(valids) if valids else np.zeros((0, B), bool),
         )
 
-    def _loss_from_logits(self, logits, valid, B):
-        """logits (B, B); valid (B,) masks dead streams."""
-        pos = jnp.diagonal(logits)[:, None]                  # (B,1)
-        vv = valid[:, None] * valid[None, :]                 # (B,B)
+    def _extra_negatives(self, key):
+        """Hook for GRU4RecPlus: per-step extra sampled negative ids."""
+        return None
+
+    def _loss_from_logits(self, logits, valid_rows, valid_cols, B):
+        """logits (B, C); valid_rows (B,) masks dead streams, valid_cols (C,)."""
+        pos = jnp.diagonal(logits[:, :B])[:, None]            # (B,1)
+        vv = valid_rows[:, None] * valid_cols[None, :]        # (B,C)
         denom = jnp.maximum(jnp.sum(vv), 1.0)
         if self.loss_name == "bpr":
             return jnp.sum(log_loss(pos - logits) * vv) / denom
         # top1
-        nvalid = jnp.maximum(jnp.sum(valid[None, :], axis=1), 1.0)
+        nvalid = jnp.maximum(jnp.sum(vv, axis=1), 1.0)
         loss1 = jnp.sum(jax.nn.sigmoid(-pos + logits) * vv, axis=1) / nvalid
         loss2 = jnp.sum(jax.nn.sigmoid(jnp.square(logits)) * vv, axis=1) / nvalid - (
             jax.nn.sigmoid(jnp.square(pos[:, 0])) / B
         )
-        return jnp.sum((loss1 + loss2) * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return jnp.sum((loss1 + loss2) * valid_rows) / jnp.maximum(
+            jnp.sum(valid_rows), 1.0
+        )
 
     def build_epoch(self, trainer):
         B = self.batch_size
@@ -175,9 +182,18 @@ class GRU4Rec(Recommender):
         def make_epoch_jit(steps):
             def step(carry, xs):
                 params, opt_state, states = carry
-                in_i, out_i, reset, valid = xs
+                in_i, out_i, reset, valid, key = xs
                 # reset finished streams' state
                 states = [s * (1.0 - reset[:, None]) for s in states]
+                extra = model._extra_negatives(key)
+                if extra is None:
+                    y = out_i
+                    valid_cols = valid
+                else:
+                    y = jnp.concatenate([out_i, extra])
+                    valid_cols = jnp.concatenate(
+                        [valid, jnp.ones_like(extra, jnp.float32)]
+                    )
 
                 def loss_fn(p):
                     x = p["input_emb"][in_i]
@@ -186,14 +202,14 @@ class GRU4Rec(Recommender):
                     for cell, s in zip(p["cells"], states):
                         h = _gru_step(cell, model.hidden_act, h, s)
                         new_states.append(h)
-                    items_embed = p["item_emb"][out_i]       # (B, d)
-                    items_bias = p["item_bias"][out_i]
+                    items_embed = p["item_emb"][y]           # (C, d)
+                    items_bias = p["item_bias"][y]
                     logits = model._final_act(h @ items_embed.T + items_bias)
-                    loss = model._loss_from_logits(logits, valid, B)
+                    loss = model._loss_from_logits(logits, valid, valid_cols, B)
                     reg = model.reg * l2_loss(
                         x * valid[:, None],
-                        items_embed * valid[:, None],
-                        items_bias * valid,
+                        items_embed * valid_cols[:, None],
+                        items_bias * valid_cols,
                     )
                     return loss + reg, new_states
 
@@ -204,10 +220,13 @@ class GRU4Rec(Recommender):
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state, new_states), loss
 
-            def epoch(params, opt_state, ins, outs, resets, valids):
+            def epoch(params, opt_state, ins, outs, resets, valids, key):
                 states = [jnp.zeros((B, n)) for n in model.layers]
+                step_keys = jax.random.split(key, steps)
                 (params, opt_state, _), losses = jax.lax.scan(
-                    step, (params, opt_state, states), (ins, outs, resets, valids)
+                    step,
+                    (params, opt_state, states),
+                    (ins, outs, resets, valids, step_keys),
                 )
                 n_valid = jnp.maximum(jnp.sum(jnp.any(valids, axis=1)), 1)
                 return params, opt_state, jnp.sum(losses) / n_valid
@@ -239,6 +258,7 @@ class GRU4Rec(Recommender):
                 jnp.asarray(outs),
                 jnp.asarray(resets.astype(np.float32)),
                 jnp.asarray(valids.astype(np.float32)),
+                key,
             )
 
         return epoch_fn

@@ -55,6 +55,22 @@ SEQ_PROPS = {
         "loss": "top1", "hidden_act": "tanh", "final_act": "linear",
         "epochs": 3, "verbose": 3,
     },
+    "GRU4RecPlus": {
+        "lr": 0.01, "reg": 0.0, "bpr_reg": 1.0, "layers": "[16]",
+        "batch_size": 16, "loss": "bpr_max", "hidden_act": "tanh",
+        "final_act": "linear", "n_sample": 32, "sample_alpha": 0.75,
+        "epochs": 3, "verbose": 3,
+    },
+    "Caser": {
+        "lr": 0.01, "l2_reg": 0.001, "factors_num": 16, "seq_L": 4,
+        "seq_T": 2, "nv": 2, "nh": 4, "dropout": 0.3, "neg_samples": 2,
+        "batch_size": 64, "epochs": 3, "verbose": 3,
+    },
+    "SRGNN": {
+        "lr": 0.01, "L2": 1e-5, "hidden_size": 16, "batch_size": 32,
+        "epochs": 3, "lr_dc": 0.1, "lr_dc_step": 3, "step": 1,
+        "nonhybrid": "False", "max_seq_len": 20, "verbose": 3,
+    },
     "TransRec": {
         "epochs": 3, "batch_size": 256, "embedding_size": 8, "reg_mf": 0.0,
         "learning_rate": 0.01, "learner": "adam", "is_pairwise": "True",
