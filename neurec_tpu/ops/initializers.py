@@ -25,14 +25,21 @@ def get_initializer(init_method: str, stddev: float = 0.01):
     elif m == "normal":
         def init(key, shape, dtype=jnp.float32):
             return stddev * jax.random.normal(key, shape, dtype)
-    elif m == "xavier_normal":
-        init = jax.nn.initializers.glorot_normal()
-    elif m == "xavier_uniform":
-        init = jax.nn.initializers.glorot_uniform()
-    elif m == "he_normal":
-        init = jax.nn.initializers.he_normal()
-    elif m == "he_uniform":
-        init = jax.nn.initializers.he_uniform()
+    elif m in ("xavier_normal", "xavier_uniform", "he_normal", "he_uniform"):
+        base = {
+            "xavier_normal": jax.nn.initializers.glorot_normal,
+            "xavier_uniform": jax.nn.initializers.glorot_uniform,
+            "he_normal": jax.nn.initializers.he_normal,
+            "he_uniform": jax.nn.initializers.he_uniform,
+        }[m]()
+
+        def init(key, shape, dtype=jnp.float32):
+            # variance-scaling inits need >= 2 dims; TF happily initializes
+            # 1-D biases with them — promote and squeeze to match
+            if len(shape) < 2:
+                full = base(key, (1,) + tuple(shape) if shape else (1, 1), dtype)
+                return full.reshape(shape)
+            return base(key, shape, dtype)
     elif m == "zeros":
         def init(key, shape, dtype=jnp.float32):
             return jnp.zeros(shape, dtype)

@@ -185,38 +185,38 @@ class Trainer:
         steps = _cdiv(n_inst, B)
         n_pad = steps * B
 
-        def step(carry, xs):
-            params, opt_state = carry
-            inst, w, key = xs
-            k_neg, k_model = jax.random.split(key)
-            base = inst % N if not pairwise else inst
-            users = users_flat[base]
-            pos = pos_flat[base]
-            rows = padded_items[users]
-            if pairwise:
-                negs = sample_negatives(k_neg, rows, num_items, ())
-                batch = {"users": users, "pos_items": pos, "neg_items": negs,
-                         "rng": k_model}
-            else:
-                is_pos = inst < N
-                negs = sample_negatives(k_neg, rows, num_items, ())
-                items = jnp.where(is_pos, pos, negs)
-                labels = is_pos.astype(jnp.float32)
-                batch = {"users": users, "items": items, "labels": labels,
-                         "rng": k_model}
-            if time_order:
-                batch["recent_items"] = recent_flat[base]
-
-            def loss_fn(p):
-                return model.loss(p, batch, w)
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = self.tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
         def epoch(params, opt_state, key, epoch_idx):
-            del epoch_idx  # sampled epochs have no global-step dependence
+            def step(carry, xs):
+                params, opt_state = carry
+                inst, w, key = xs
+                k_neg, k_model = jax.random.split(key)
+                base = inst % N if not pairwise else inst
+                users = users_flat[base]
+                pos = pos_flat[base]
+                rows = padded_items[users]
+                if pairwise:
+                    negs = sample_negatives(k_neg, rows, num_items, ())
+                    batch = {"users": users, "pos_items": pos,
+                             "neg_items": negs, "rng": k_model,
+                             "epoch": epoch_idx}
+                else:
+                    is_pos = inst < N
+                    negs = sample_negatives(k_neg, rows, num_items, ())
+                    items = jnp.where(is_pos, pos, negs)
+                    labels = is_pos.astype(jnp.float32)
+                    batch = {"users": users, "items": items, "labels": labels,
+                             "rng": k_model, "epoch": epoch_idx}
+                if time_order:
+                    batch["recent_items"] = recent_flat[base]
+
+                def loss_fn(p):
+                    return model.loss(p, batch, w)
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = self.tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
             kp, kn = jax.random.split(key)
             perm = jax.random.permutation(kp, n_pad)
             inst = jnp.where(perm < n_inst, perm, 0).astype(jnp.int32)
@@ -290,7 +290,10 @@ class Trainer:
             self.params = shard_params(
                 self.params, self.model.param_shardings(self.mesh)
             )
-        self.opt_state = self.tx.init(self.params)
+        if hasattr(self.model, "init_opt_state"):
+            self.opt_state = self.model.init_opt_state(self.params)
+        else:
+            self.opt_state = self.tx.init(self.params)
         self._epoch_fn = self._build_epoch_fn()
 
     def train(self):

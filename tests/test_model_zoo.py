@@ -44,6 +44,53 @@ MODEL_PROPS = {
         "mf_pretrain": "", "mlp_pretrain": "",
     },
     "Pop": {"epochs": 0, "batch_size": 128, "verbose": 1},
+    "APR": {
+        "epochs": 3, "batch_size": 128, "embedding_size": 8, "reg": 0,
+        "reg_adv": 1, "learning_rate": 0.05, "learner": "adam",
+        "adv_epoch": 0, "adv": "grad", "eps": 0.5, "adver": 1,
+        "init_method": "tnormal", "stddev": 0.01, "verbose": 3,
+    },
+    "ConvNCF": {
+        "epochs": 3, "batch_size": 128, "embedding_size": 8,
+        "regs": "[0.01,0,0]", "net_channel": "[8,8,8]", "lr_embed": 0.05,
+        "lr_net": 0.05, "num_negatives": 2, "loss_function": "BPR",
+        "keep": 0.9, "embed_init_method": "tnormal",
+        "weight_init_method": "xavier_normal", "stddev": 0.01, "verbose": 3,
+    },
+    "DMF": {
+        "epochs": 3, "batch_size": 128, "reg_mf": 0, "layers": "[32,16]",
+        "learning_rate": 0.01, "loss_function": "cross_entropy",
+        "learner": "adam", "num_negatives": 2, "init_method": "normal",
+        "stddev": 0.01, "verbose": 3,
+    },
+    "WRMF": {
+        "epochs": 3, "embedding_size": 8, "reg_mf": 0.1, "alpha": 10,
+        "init_method": "uniform", "stddev": 0.01, "verbose": 3,
+    },
+    "CFGAN": {
+        "reg_G": 0.001, "reg_D": 0.0, "lr_G": 0.001, "lr_D": 0.001,
+        "ZR_ratio": 0.5, "ZP_ratio": 0.5, "ZR_coefficient": 0.03,
+        "hiddenLayer_G": "[16]", "hiddenLayer_D": "[8]",
+        "batchSize_G": 16, "batchSize_D": 16, "step_G": 1, "step_D": 1,
+        "mode": "userBased", "opt_G": "adam", "opt_D": "adam",
+        "epochs": 3, "verbose": 3,
+    },
+    "ItemKNN": {
+        "neighbor": 5, "shrink": 0, "similarity": "cosine",
+        "asymmetric_alpha": 1, "tversky_alpha": 0.5, "tversky_beta": 0.5,
+        "verbose": 1,
+    },
+    "JCA": {
+        "hidden_neuron": 16, "epochs": 3, "f_act": "tanh", "g_act": "tanh",
+        "batch_size": 32, "reg": 0, "learning_rate": 0.01,
+        "corruption_level": 0.2, "learner": "adam", "margin": 0.15,
+        "num_neg": 1, "init_method": "tnormal", "stddev": 0.01, "verbose": 3,
+    },
+    "IRGAN": {
+        "lr": 0.01, "factors_num": 8, "batch_size": 64, "epochs": 3,
+        "d_epoch": 1, "g_epoch": 1, "g_reg": 0.0, "d_reg": 0.00625,
+        "d_tau": 0.2, "pretrain_file": "None", "verbose": 3,
+    },
     "MultiVAE": {
         "epochs": 3, "batch_size": 32, "p_dim": "[8,16]", "reg": 0.0,
         "learning_rate": 0.01, "learner": "adam", "activation": "tanh",
@@ -96,7 +143,8 @@ def test_model_smoke(zoo_dataset, name):
             )
             losses.append(float(loss))
         assert all(np.isfinite(losses)), losses
-        assert losses[-1] <= losses[0], losses
+        if name not in ("IRGAN", "CFGAN"):  # adversarial losses oscillate
+            assert losses[-1] <= losses[0], losses
 
     import jax.numpy as jnp
 
