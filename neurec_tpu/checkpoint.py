@@ -1,0 +1,86 @@
+"""Checkpoint / resume — a subsystem the reference lacks entirely.
+
+The reference has no tf.train.Saver anywhere; a crash loses the run
+(SURVEY.md §5). Here training state — params, optimizer state, the epoch
+counter and RNG seed — is saved with orbax and restored to continue
+training mid-run, on any device topology.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, epoch: int, params, opt_state, extra: Optional[dict] = None):
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "epoch": np.asarray(epoch),
+        }
+        if extra:
+            state["extra"] = extra
+        self._mgr.save(epoch, args=ocp.args.StandardSave(state))
+        self._mgr.wait_until_finished()
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, params_like, opt_state_like, epoch: Optional[int] = None):
+        """Restore (params, opt_state, epoch); templates define the pytree
+        structure/shardings to restore into."""
+        step = epoch if epoch is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(
+                "no checkpoint found under %s" % self.directory
+            )
+        template = {
+            "params": params_like,
+            "opt_state": opt_state_like,
+            "epoch": np.asarray(0),
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        return restored["params"], restored["opt_state"], int(restored["epoch"])
+
+    def close(self):
+        self._mgr.close()
+
+
+def attach_to_trainer(trainer, directory: str, every: int = 1):
+    """Wire periodic checkpointing + auto-resume into a Trainer.
+
+    Returns the epoch to start from (1 if fresh). The Trainer's train()
+    loop consults ``trainer._ckpt`` / ``trainer._ckpt_every`` /
+    ``trainer._start_epoch`` when present.
+    """
+    mgr = CheckpointManager(directory)
+    trainer._ckpt = mgr
+    trainer._ckpt_every = max(int(every), 1)
+    if trainer.params is None:
+        trainer.initialize()
+    start = 1
+    if mgr.latest_epoch() is not None:
+        trainer.params, trainer.opt_state, last = mgr.restore(
+            jax.tree.map(np.asarray, trainer.params),
+            jax.tree.map(np.asarray, trainer.opt_state),
+        )
+        start = last + 1
+    trainer._start_epoch = start
+    return start

@@ -307,7 +307,8 @@ class Trainer:
             return result
         key = jax.random.PRNGKey(self.seed + 1)
         result = ""
-        for epoch in range(1, model.epochs + 1):
+        start_epoch = getattr(self, "_start_epoch", 1)
+        for epoch in range(start_epoch, model.epochs + 1):
             t0 = time.time()
             ekey = jax.random.fold_in(key, epoch)
             self.params, self.opt_state, loss = self._epoch_fn(
@@ -320,6 +321,9 @@ class Trainer:
             if epoch % model.verbose == 0:
                 result = self.evaluate()
                 self.logger.info("epoch %d:\t%s" % (epoch, result))
+            ckpt = getattr(self, "_ckpt", None)
+            if ckpt is not None and epoch % self._ckpt_every == 0:
+                ckpt.save(epoch, self.params, self.opt_state)
         return result
 
     def evaluate(self) -> str:

@@ -1,0 +1,77 @@
+"""Checkpoint/resume: save -> crash -> restore mid-training continues."""
+
+import numpy as np
+
+from neurec_tpu.checkpoint import CheckpointManager, attach_to_trainer
+from neurec_tpu.data.dataset import Dataset
+from neurec_tpu.models import get_model
+from neurec_tpu.trainer import Trainer
+from tests.helpers import make_config, make_synthetic_dataset
+
+
+class SilentLogger:
+    def info(self, msg):
+        pass
+
+    debug = warning = error = critical = info
+
+
+PROPS = {
+    "epochs": 4, "batch_size": 128, "embedding_size": 8, "reg_mf": 0.0,
+    "learning_rate": 0.05, "learner": "adam", "num_negatives": 1,
+    "is_pairwise": "True", "loss_function": "bpr",
+    "init_method": "normal", "stddev": 0.01, "verbose": 4,
+}
+
+
+def _trainer(tmp_path, epochs):
+    conf = make_config(tmp_path, recommender="MF",
+                       alg_props=dict(PROPS, epochs=epochs))
+    dataset = Dataset(conf)
+    model = get_model("MF")(dataset, conf)
+    return Trainer(model, dataset, conf, logger=SilentLogger())
+
+
+def test_save_restore_roundtrip(tmp_path):
+    make_synthetic_dataset(tmp_path)
+    tr = _trainer(tmp_path, 2)
+    tr.initialize()
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(1, tr.params, tr.opt_state)
+    import jax
+
+    p2, o2, epoch = mgr.restore(
+        jax.tree.map(np.asarray, tr.params),
+        jax.tree.map(np.asarray, tr.opt_state),
+    )
+    assert epoch == 1
+    np.testing.assert_array_equal(
+        np.asarray(tr.params["user_emb"]), np.asarray(p2["user_emb"])
+    )
+    mgr.close()
+
+
+def test_resume_continues_training(tmp_path):
+    make_synthetic_dataset(tmp_path)
+    ckpt_dir = str(tmp_path / "ckpt2")
+
+    # run 1: train 2 epochs (of 4), checkpointing each epoch
+    tr1 = _trainer(tmp_path, 2)
+    attach_to_trainer(tr1, ckpt_dir, every=1)
+    tr1.train()
+    assert tr1._ckpt.latest_epoch() == 2
+    tr1._ckpt.close()
+
+    # run 2: fresh trainer resumes at epoch 3
+    tr2 = _trainer(tmp_path, 4)
+    start = attach_to_trainer(tr2, ckpt_dir, every=1)
+    assert start == 3
+    # restored params equal run-1 finals
+    np.testing.assert_allclose(
+        np.asarray(tr1.params["user_emb"]),
+        np.asarray(tr2.params["user_emb"]),
+        rtol=1e-6,
+    )
+    tr2.train()
+    assert tr2._ckpt.latest_epoch() == 4
+    tr2._ckpt.close()
