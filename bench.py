@@ -176,6 +176,75 @@ def bench_eval_baseline(trainer, n_rounds=1):
     return len(users) * n_rounds / dt
 
 
+def bench_lightgcn(dataset, conf, n_epochs=3):
+    """LightGCN (the flagship graph model) fused-epoch throughput."""
+    import jax
+
+    from neurec_tpu.data.synthetic import DictConfig
+    from neurec_tpu.models import get_model
+    from neurec_tpu.trainer import Trainer
+
+    lconf = DictConfig(
+        {
+            "recommender": "LightGCN", "lr": 0.01, "reg": 1e-3,
+            "embed_size": 64, "n_layers": 3, "batch_size": 1024,
+            "epochs": n_epochs, "learner": "adam", "adj_type": "pre",
+            "verbose": 10 ** 9,
+            "metric": ["Recall", "NDCG"], "topk": [20], "group_view": None,
+            "test_batch_size": 128,
+        }
+    )
+
+    class _L:
+        def info(self, m):
+            pass
+
+        debug = warning = error = critical = info
+
+    model = get_model("LightGCN")(dataset, lconf)
+    trainer = Trainer(model, dataset, lconf, logger=_L())
+    trainer.initialize()
+    key = jax.random.PRNGKey(0)
+    p, o, _ = trainer._epoch_fn(trainer.params, trainer.opt_state, key, 1)
+    jax.block_until_ready(p)
+    trainer.params, trainer.opt_state = p, o
+    t0 = time.perf_counter()
+    for e in range(n_epochs):
+        trainer.params, trainer.opt_state, loss = trainer._epoch_fn(
+            trainer.params, trainer.opt_state, jax.random.fold_in(key, e), e + 1
+        )
+    jax.block_until_ready(trainer.params)
+    dt = time.perf_counter() - t0
+    return dataset.train_matrix.nnz * n_epochs / dt
+
+
+def bench_eval_parity(trainer):
+    """Max |device - native C++| metric disagreement on trained params."""
+    import jax.numpy as jnp
+
+    try:
+        from neurec_tpu import native
+    except Exception:
+        return None
+    model, params = trainer.model, trainer.params
+    ev = trainer.evaluator.evaluator
+    users = ev.test_users[:256]
+    device = ev.evaluate_raw(model.predict, params, users)
+    masked = np.array(model.predict(params, jnp.asarray(users)), dtype=np.float32)
+    for j, u in enumerate(users):
+        u = int(u)
+        if u in ev.user_pos_train:
+            masked[j, ev.user_pos_train[u]] = -np.inf
+    metrics = ev.metrics
+    host = native.eval_score_matrix(
+        masked, [ev.user_pos_test[int(u)] for u in users], metrics,
+        ev.max_top, n_threads=8,
+    )
+    host_mean = host.mean(axis=0).reshape(len(metrics), ev.max_top)
+    k_idx = np.minimum(ev.top_show, ev.num_items) - 1
+    return float(np.abs(device - host_mean[:, k_idx]).max())
+
+
 def main():
     conf, dataset = _load_ml100k()
     from neurec_tpu.models import get_model
@@ -185,6 +254,8 @@ def main():
     base_tput = bench_train_baseline(model, dataset, conf)
     eval_tput = bench_eval(trainer)
     eval_base = bench_eval_baseline(trainer)
+    lightgcn_tput = bench_lightgcn(dataset, conf)
+    parity_gap = bench_eval_parity(trainer)
 
     print(
         json.dumps(
@@ -197,6 +268,8 @@ def main():
                 "eval_users_per_s": round(eval_tput, 1),
                 "eval_users_per_s_baseline": round(eval_base, 1),
                 "eval_speedup": round(eval_tput / eval_base, 2),
+                "lightgcn_examples_per_s": round(lightgcn_tput, 1),
+                "eval_parity_max_abs_gap_vs_cpp": parity_gap,
             }
         )
     )

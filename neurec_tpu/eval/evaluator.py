@@ -146,7 +146,7 @@ class UniEvaluator:
         ]
         return "metrics:\t%s" % "\t".join(metrics_show)
 
-    # -- jitted batch steps -------------------------------------------------
+    # -- jitted eval --------------------------------------------------------
     def _make_eval_step(self, predict_fn: PredictFn):
         num_items = self.num_items
         K = min(self.max_top, num_items)
@@ -181,7 +181,45 @@ class UniEvaluator:
             w = valid.astype(jnp.float32)
             return jnp.sum(m * w[:, None, None], axis=0), jnp.sum(w)
 
-        return jax.jit(full_catalog_step), jax.jit(candidate_step)
+        # the whole evaluation — every batch — as ONE device program:
+        # lax.scan over (n_batches, B) position blocks, accumulating the
+        # metric sums on device, so an eval pass is a single dispatch.
+        def full_catalog_all(params, users_b, sel_b, valid_b):
+            def body(carry, xs):
+                total, count = carry
+                users, sel, valid = xs
+                msum, wsum = full_catalog_step(
+                    params,
+                    users,
+                    self._train_rows[users],
+                    self._test_rows[sel],
+                    self._test_lens[sel],
+                    valid,
+                )
+                return (total + msum, count + wsum), None
+
+            init = (jnp.zeros((5, K)), jnp.zeros(()))
+            (total, count), _ = jax.lax.scan(
+                body, init, (users_b, sel_b, valid_b)
+            )
+            return total, count
+
+        def candidate_all(params, users_b, sel_b, valid_b):
+            def body(carry, xs):
+                total, count = carry
+                users, sel, valid = xs
+                msum, wsum = candidate_step(
+                    params, users, self._cand_rows[sel], self._n_pos[sel], valid
+                )
+                return (total + msum, count + wsum), None
+
+            init = (jnp.zeros((5, K)), jnp.zeros(()))
+            (total, count), _ = jax.lax.scan(
+                body, init, (users_b, sel_b, valid_b)
+            )
+            return total, count
+
+        return jax.jit(full_catalog_all), jax.jit(candidate_all)
 
     def _get_steps(self, predict_fn: PredictFn):
         key = id(predict_fn)
@@ -197,7 +235,7 @@ class UniEvaluator:
         test_users: Optional[Sequence[int]] = None,
     ) -> np.ndarray:
         """Mean per-user metric matrix, shape (metrics_num, len(top_show))."""
-        full_step, cand_step = self._get_steps(predict_fn)
+        full_all, cand_all = self._get_steps(predict_fn)
         if test_users is None:
             users = self.test_users
         else:
@@ -208,38 +246,25 @@ class UniEvaluator:
 
         B = min(self.batch_size, max(len(users), 1))
         n_batches = (len(users) + B - 1) // B
-        total = np.zeros((5, min(self.max_top, self.num_items)), dtype=np.float64)
-        count = 0.0
-        for b in range(n_batches):
-            sel = positions[b * B : (b + 1) * B]
-            valid = np.ones(len(sel), dtype=np.float32)
-            if len(sel) < B:  # pad final batch
-                pad = B - len(sel)
-                sel = np.concatenate([sel, np.zeros(pad, dtype=np.int32)])
-                valid = np.concatenate([valid, np.zeros(pad, dtype=np.float32)])
-            batch_users = jnp.asarray(self.test_users[sel])
-            sel_j = jnp.asarray(sel)
-            if self.user_neg_test is not None:
-                msum, wsum = cand_step(
-                    params,
-                    batch_users,
-                    self._cand_rows[sel_j],
-                    self._n_pos[sel_j],
-                    jnp.asarray(valid),
-                )
-            else:
-                msum, wsum = full_step(
-                    params,
-                    batch_users,
-                    self._train_rows[batch_users],
-                    self._test_rows[sel_j],
-                    self._test_lens[sel_j],
-                    jnp.asarray(valid),
-                )
-            total += np.asarray(msum, dtype=np.float64)
-            count += float(wsum)
+        n_pad = n_batches * B
+        valid = np.zeros(n_pad, dtype=np.float32)
+        valid[: len(users)] = 1.0
+        sel = np.zeros(n_pad, dtype=np.int32)
+        sel[: len(users)] = positions
+        users_pad = np.zeros(n_pad, dtype=np.int32)
+        users_pad[: len(users)] = users
 
-        mean = (total / max(count, 1.0)).astype(np.float32)  # (5, K)
+        users_b = jnp.asarray(users_pad.reshape(n_batches, B))
+        sel_b = jnp.asarray(sel.reshape(n_batches, B))
+        valid_b = jnp.asarray(valid.reshape(n_batches, B))
+        if self.user_neg_test is not None:
+            total, count = cand_all(params, users_b, sel_b, valid_b)
+        else:
+            total, count = full_all(params, users_b, sel_b, valid_b)
+
+        mean = (
+            np.asarray(total, dtype=np.float64) / max(float(count), 1.0)
+        ).astype(np.float32)  # (5, K)
         k_idx = np.minimum(self.top_show, self.num_items) - 1
         return mean[self._metric_rows][:, k_idx]
 

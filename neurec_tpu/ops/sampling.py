@@ -23,8 +23,6 @@ statistically in tests/test_sampling.py.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
@@ -39,7 +37,6 @@ def is_positive(
     return member.reshape(candidates.shape)
 
 
-@partial(jax.jit, static_argnames=("num_items", "shape", "num_rounds"))
 def sample_negatives(
     key: jax.Array,
     rows: jnp.ndarray,          # (B, L) per-slot exclusion rows
@@ -50,6 +47,11 @@ def sample_negatives(
     """Draw uniform negatives in [0, num_items) excluding each row's positives.
 
     Returns int32 array of shape (B, *shape).
+
+    Deliberately NOT wrapped in jax.jit: callers trace it inside their own
+    jitted train steps, and a nested pjit boundary here blocks XLA from
+    fusing the membership test with the surrounding embedding-gradient
+    scatters (measured ~10x whole-step slowdown on TPU).
     """
     B = rows.shape[0]
     S = 1
@@ -59,10 +61,17 @@ def sample_negatives(
         key, (B, num_rounds * S), 0, num_items, dtype=jnp.int32
     )
     member = jnp.any(rows[:, None, :] == draws[:, :, None], axis=-1)
-    ok = (~member).reshape(B, num_rounds, S)
-    draws_r = draws.reshape(B, num_rounds, S)
     # first ok round per slot; argmax returns 0 when no round succeeded,
     # which falls back to the round-0 draw (bounded-bias fallback).
+    if S == 1:
+        # keep everything 2-D: the 3-D take_along_axis form triggers an XLA
+        # fusion pathology on TPU when combined with embedding-gradient
+        # scatters in the surrounding train step (~10x step slowdown)
+        first = jnp.argmax(~member, axis=1)                     # (B,)
+        chosen = jnp.take_along_axis(draws, first[:, None], axis=1)[:, 0]
+        return chosen.reshape((B,) + tuple(shape))
+    ok = (~member).reshape(B, num_rounds, S)
+    draws_r = draws.reshape(B, num_rounds, S)
     first = jnp.argmax(ok, axis=1)                              # (B, S)
     chosen = jnp.take_along_axis(draws_r, first[:, None, :], axis=1)[:, 0]
     return chosen.reshape((B,) + tuple(shape))
