@@ -67,10 +67,14 @@ def bench_train(model, dataset, conf, n_epochs=5):
     trainer = Trainer(model, dataset, conf, logger=_L())
     trainer.initialize()
     key = jax.random.PRNGKey(0)
-    # compile
-    p, o, _ = trainer._epoch_fn(trainer.params, trainer.opt_state, key, 1)
-    jax.block_until_ready(p)
-    trainer.params, trainer.opt_state = p, o
+    # compile + warm up (the first several post-compile executions run far
+    # below steady state on the tunneled TPU)
+    for w in range(8):
+        p, o, _ = trainer._epoch_fn(
+            trainer.params, trainer.opt_state, jax.random.fold_in(key, 100 + w), 1
+        )
+        jax.block_until_ready(p)
+        trainer.params, trainer.opt_state = p, o
     t0 = time.perf_counter()
     for e in range(n_epochs):
         trainer.params, trainer.opt_state, loss = trainer._epoch_fn(
@@ -138,8 +142,9 @@ def bench_eval(trainer, n_rounds=3):
     import jax
 
     ev = trainer.evaluator.evaluator
-    # compile
-    ev.evaluate_raw(trainer.model.predict, trainer.params)
+    # compile + warm up
+    for _ in range(4):
+        ev.evaluate_raw(trainer.model.predict, trainer.params)
     t0 = time.perf_counter()
     for _ in range(n_rounds):
         ev.evaluate_raw(trainer.model.predict, trainer.params)
@@ -205,9 +210,12 @@ def bench_lightgcn(dataset, conf, n_epochs=3):
     trainer = Trainer(model, dataset, lconf, logger=_L())
     trainer.initialize()
     key = jax.random.PRNGKey(0)
-    p, o, _ = trainer._epoch_fn(trainer.params, trainer.opt_state, key, 1)
-    jax.block_until_ready(p)
-    trainer.params, trainer.opt_state = p, o
+    for w in range(8):
+        p, o, _ = trainer._epoch_fn(
+            trainer.params, trainer.opt_state, jax.random.fold_in(key, 100 + w), 1
+        )
+        jax.block_until_ready(p)
+        trainer.params, trainer.opt_state = p, o
     t0 = time.perf_counter()
     for e in range(n_epochs):
         trainer.params, trainer.opt_state, loss = trainer._epoch_fn(

@@ -91,6 +91,12 @@ class NGCF(Recommender):
     def _adj_for_step(self, rng, training) -> SparseAdj:
         if training and self.node_dropout_flag and rng is not None:
             keep = 1.0 - self.node_dropout_ratio
+            if self.adj.dense is not None:
+                # edge dropout on the dense path: zero entries stay zero, so
+                # an elementwise Bernoulli mask == per-edge dropout
+                mask = jax.random.bernoulli(rng, keep, self.adj.dense.shape)
+                dense = jnp.where(mask, self.adj.dense / keep, 0.0)
+                return self.adj._replace(dense=dense)
             mask = jax.random.bernoulli(rng, keep, self.adj.vals.shape)
             vals = jnp.where(mask, self.adj.vals / keep, 0.0)
             return self.adj._replace(vals=vals)

@@ -17,7 +17,7 @@ symmetric (A = [[0, R], [R^T, 0]]). Normalizations mirror LightGCN.py:
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,12 +26,24 @@ import scipy.sparse as sp
 
 
 class SparseAdj(NamedTuple):
-    """COO edges on device, padded to a lane-friendly length with zero vals."""
+    """Adjacency on device.
+
+    Always carries COO edges (rows/cols/vals, padded to a lane-friendly
+    length with zero vals). For small graphs a dense (n_nodes, n_nodes)
+    copy is also kept: one MXU matmul beats a sort/scatter segment-sum by
+    an order of magnitude, and below ``DENSE_LIMIT`` entries the memory is
+    trivial. ``dense`` is None above the limit.
+    """
 
     rows: jnp.ndarray  # (nnz_pad,) int32
     cols: jnp.ndarray  # (nnz_pad,) int32
     vals: jnp.ndarray  # (nnz_pad,) float32
     n_nodes: int
+    dense: Optional[jnp.ndarray] = None  # (n_nodes, n_nodes) f32 or None
+
+
+# dense adjacency cutoff: 64M f32 entries == 256 MB HBM
+DENSE_LIMIT = 64 * 1024 * 1024
 
 
 def _normalize(adj_mat: sp.spmatrix, adj_type: str) -> sp.coo_matrix:
@@ -91,17 +103,27 @@ def build_norm_adjacency(
     rows[:nnz] = norm.row[order]
     cols[:nnz] = norm.col[order]
     vals[:nnz] = norm.data[order]
+    dense = None
+    if n_nodes * n_nodes <= DENSE_LIMIT:
+        dense = jnp.asarray(norm.toarray().astype(np.float32))
     # padding edges point at node 0 with value 0 — no-ops under segment_sum
     return SparseAdj(
         rows=jnp.asarray(rows),
         cols=jnp.asarray(cols),
         vals=jnp.asarray(vals),
         n_nodes=n_nodes,
+        dense=dense,
     )
 
 
 def spmm(adj: SparseAdj, x: jnp.ndarray) -> jnp.ndarray:
-    """Sparse (n_nodes x n_nodes) @ dense (n_nodes, d) via segment-sum."""
+    """(n_nodes x n_nodes) adjacency @ dense (n_nodes, d).
+
+    Dense MXU matmul when the adjacency fits under DENSE_LIMIT; otherwise
+    a sorted COO segment-sum.
+    """
+    if adj.dense is not None:
+        return jnp.dot(adj.dense, x, preferred_element_type=jnp.float32)
     gathered = x[adj.cols] * adj.vals[:, None]
     return jax.ops.segment_sum(
         gathered, adj.rows, num_segments=adj.n_nodes, indices_are_sorted=True
