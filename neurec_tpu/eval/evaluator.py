@@ -151,14 +151,31 @@ class UniEvaluator:
         num_items = self.num_items
         K = min(self.max_top, num_items)
 
+        # factorized models (scores == u_vecs @ item_table.T) use the Pallas
+        # fused score+mask kernel on TPU — one pass over the score matrix
+        # instead of XLA's concat/scatter/slice chain
+        model = getattr(predict_fn, "__self__", None)
+        factorized = getattr(model, "eval_embeddings", None)
+        use_pallas = (
+            factorized is not None
+            and jax.devices()[0].platform.lower() != "cpu"
+        )
+        if use_pallas:
+            from neurec_tpu.ops.pallas_kernels import masked_scores
+
         def full_catalog_step(params, users, train_rows, test_rows, test_lens, valid):
-            scores = predict_fn(params, users).astype(jnp.float32)
-            B = scores.shape[0]
-            ext = jnp.concatenate(
-                [scores, jnp.zeros((B, 1), jnp.float32)], axis=1
-            )
-            ext = ext.at[jnp.arange(B)[:, None], train_rows].set(-jnp.inf)
-            masked = ext[:, :num_items]
+            if use_pallas:
+                u_vecs, item_table = factorized(params, users)
+                masked = masked_scores(u_vecs, item_table, train_rows)
+                B = masked.shape[0]
+            else:
+                scores = predict_fn(params, users).astype(jnp.float32)
+                B = scores.shape[0]
+                ext = jnp.concatenate(
+                    [scores, jnp.zeros((B, 1), jnp.float32)], axis=1
+                )
+                ext = ext.at[jnp.arange(B)[:, None], train_rows].set(-jnp.inf)
+                masked = ext[:, :num_items]
             _, topk = jax.lax.top_k(masked, K)
             hits = hit_matrix(topk, test_rows, test_lens)
             m = all_metrics(hits, test_lens)  # (B, 5, K)
@@ -222,7 +239,13 @@ class UniEvaluator:
         return jax.jit(full_catalog_all), jax.jit(candidate_all)
 
     def _get_steps(self, predict_fn: PredictFn):
-        key = id(predict_fn)
+        # bound methods are re-created on every attribute access, so key on
+        # (underlying function, instance) — id(predict_fn) would retrace and
+        # recompile the whole eval program at every call
+        key = (
+            id(getattr(predict_fn, "__func__", predict_fn)),
+            id(getattr(predict_fn, "__self__", None)),
+        )
         if key not in self._jit_cache:
             self._jit_cache[key] = self._make_eval_step(predict_fn)
         return self._jit_cache[key]

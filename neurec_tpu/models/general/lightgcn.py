@@ -83,3 +83,8 @@ class LightGCN(Recommender):
     def predict(self, params, users):
         u_table, i_table = self.propagate(params)
         return u_table[users] @ i_table.T
+
+    def eval_embeddings(self, params, users):
+        """Factorized eval form for the fused Pallas score+mask kernel."""
+        u_table, i_table = self.propagate(params)
+        return u_table[users], i_table

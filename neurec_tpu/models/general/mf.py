@@ -73,3 +73,7 @@ class MF(Recommender):
     def predict(self, params, users):
         u = params["user_emb"][users]
         return u @ params["item_emb"].T
+
+    def eval_embeddings(self, params, users):
+        """Factorized eval form for the fused Pallas score+mask kernel."""
+        return params["user_emb"][users], params["item_emb"]
