@@ -18,6 +18,7 @@ class Logger:
         dir_name = os.path.dirname(filename)
         if dir_name and not os.path.exists(dir_name):
             os.makedirs(dir_name, exist_ok=True)
+        self.path = filename
 
         self.logger = logging.getLogger(filename)
         self.logger.setLevel(logging.DEBUG)

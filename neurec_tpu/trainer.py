@@ -308,6 +308,9 @@ class Trainer:
         key = jax.random.PRNGKey(self.seed + 1)
         result = ""
         start_epoch = getattr(self, "_start_epoch", 1)
+        jsonl_path = None
+        if getattr(self.logger, "path", None):
+            jsonl_path = self.logger.path + ".metrics.jsonl"
         for epoch in range(start_epoch, model.epochs + 1):
             t0 = time.time()
             ekey = jax.random.fold_in(key, epoch)
@@ -315,12 +318,23 @@ class Trainer:
                 self.params, self.opt_state, ekey, jnp.int32(epoch)
             )
             loss = float(loss)
+            elapsed = time.time() - t0
             self.logger.info(
-                "[iter %d : loss : %f, time: %f]" % (epoch, loss, time.time() - t0)
+                "[iter %d : loss : %f, time: %f]" % (epoch, loss, elapsed)
             )
+            record = {"epoch": epoch, "loss": loss, "time_s": round(elapsed, 4)}
             if epoch % model.verbose == 0:
                 result = self.evaluate()
                 self.logger.info("epoch %d:\t%s" % (epoch, result))
+                record["metrics"] = {
+                    "header": self.evaluator.metrics_info(),
+                    "values": result.split("\t"),
+                }
+            if jsonl_path is not None:
+                import json
+
+                with open(jsonl_path, "a") as f:
+                    f.write(json.dumps(record) + "\n")
             ckpt = getattr(self, "_ckpt", None)
             if ckpt is not None and epoch % self._ckpt_every == 0:
                 ckpt.save(epoch, self.params, self.opt_state)
