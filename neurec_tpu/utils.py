@@ -78,4 +78,5 @@ def argmax_top_k(a, top_k: int = 50):
     (parity: util/tool.py:149-151)."""
     a = np.asarray(a)
     idx = np.argpartition(-a, min(top_k, len(a) - 1))[:top_k]
-    return idx[np.argsort(-a[idx], kind="stable")]
+    # argpartition scrambles tie order; sort by (-value, index)
+    return idx[np.lexsort((idx, -a[idx]))]
