@@ -17,7 +17,6 @@ reference loops over ``groupby`` groups, which is slow on large datasets.
 from __future__ import annotations
 
 import hashlib
-import math
 import os
 from typing import Optional, Tuple
 

@@ -37,7 +37,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neurec_tpu.data.padded import PaddedUserItems, build_padded_positives
 from neurec_tpu.ops.metrics import METRIC_INDEX, METRIC_NAMES, all_metrics, hit_matrix
 
 PredictFn = Callable[[object, jnp.ndarray], jnp.ndarray]

@@ -21,8 +21,6 @@ Parity with model/sequential_recommender/GRU4Rec.py:20-250:
 
 from __future__ import annotations
 
-from typing import List, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -8,7 +8,6 @@ optional ('data','model') mesh.
 
 from __future__ import annotations
 
-import os
 import random
 
 import numpy as np

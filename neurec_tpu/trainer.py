@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from neurec_tpu.data.padded import build_padded_bytime, build_padded_positives
+from neurec_tpu.data.padded import build_padded_positives
 from neurec_tpu.eval.evaluator import Evaluator
 from neurec_tpu.logging import Logger, run_logger
 from neurec_tpu.ops.sampling import sample_negatives
