@@ -119,12 +119,12 @@ class JCA(Recommender):
                 )
                 w = w_cell[:, :, None] * (1.0 - neg_is_pos) * neg_valid_col
                 cost1 = jnp.sum(hinge * w)
-                cost2 = self.reg * 0.5 * 2.0 * (
-                    0.5 * sum(
-                        jnp.sum(jnp.square(p[k]))
-                        for k in ("UW", "UV", "IW", "IV", "Ib1", "Ib2",
-                                  "Ub1", "Ub2")
-                    )
+                # reference: reg * 0.5 * l2_loss(...) with l2_loss = sum of
+                # 0.5*||.||^2  =>  reg * 0.25 * sum of squared norms
+                cost2 = self.reg * 0.25 * sum(
+                    jnp.sum(jnp.square(p[k]))
+                    for k in ("UW", "UV", "IW", "IV", "Ib1", "Ib2",
+                              "Ub1", "Ub2")
                 )
                 return cost1 + cost2
 
