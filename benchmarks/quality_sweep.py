@@ -1,0 +1,185 @@
+"""Full model-zoo quality sweep on ml-100k (real-hardware run).
+
+Trains every registered model under the reference's default protocol
+(NeuRec.properties: per-user 80/20 ratio split, full-catalog evaluation,
+train items masked, Precision/Recall/MAP/NDCG/MRR @ {10, 20}) and records
+the final metrics + wall time into ``benchmarks/ml100k_quality_sweep.json``.
+
+Driver mode (default) runs one subprocess per model with a timeout so a
+single hang cannot kill the sweep, and skips models already present in the
+output file — re-running resumes where it left off.
+
+  python benchmarks/quality_sweep.py              # sweep everything
+  python benchmarks/quality_sweep.py --only MF    # driver, single model
+  python benchmarks/quality_sweep.py --one MF     # in-process single run
+
+Epoch counts are bounded-time choices per family (steady-state epochs are
+milliseconds; XLA compile time dominates), not the reference conf defaults —
+the flagship configs in ml100k_quality.json use the longer budgets.
+
+Social models (SBPR, DiffNet) run with the reference's shipped Ciao social
+edge file filtered to known users — exactly what the reference's
+SocialAbstractRecommender does when pointed at ml-100k
+(model/AbstractRecommender.py:55-73). No matching social ratings dataset
+ships with the reference, so their absolute numbers demonstrate the code
+path, not published-paper quality.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "benchmarks", "ml100k_quality_sweep.json")
+
+if REPO not in sys.path:  # sys.path[0] is benchmarks/, not the repo root
+    sys.path.insert(0, REPO)
+
+# model -> (epochs, extra CLI overrides)
+SWEEP = {
+    "Pop": (0, []),
+    "ItemKNN": (0, []),
+    "MF": (200, []),
+    "MLP": (100, []),
+    "NeuMF": (60, []),
+    "APR": (200, []),
+    "ConvNCF": (50, []),
+    "DMF": (30, []),
+    "CDAE": (100, []),
+    "DAE": (100, []),
+    "MultiDAE": (150, []),
+    "MultiVAE": (150, []),
+    "JCA": (50, []),
+    "IRGAN": (30, []),
+    "CFGAN": (50, []),
+    "WRMF": (15, []),
+    "SpectralCF": (100, []),
+    "NGCF": (100, []),
+    "LightGCN": (150, []),
+    "FISM": (50, []),
+    "NAIS": (50, []),
+    "DeepICF": (30, []),
+    "SBPR": (100, []),
+    "DiffNet": (50, []),
+    "FPMC": (100, []),
+    "FPMCplus": (50, []),
+    "HRM": (50, []),
+    "NPE": (50, []),
+    "TransRec": (100, []),
+    "Fossil": (50, []),
+    "Caser": (30, []),
+    "GRU4Rec": (30, []),
+    "GRU4RecPlus": (30, []),
+    "SASRec": (100, []),
+    "SRGNN": (20, []),
+}
+
+PER_MODEL_TIMEOUT_S = 2700
+
+
+def run_one(name: str) -> dict:
+    import random
+
+    import numpy as np
+
+    from neurec_tpu.config import Config
+    from neurec_tpu.data.dataset import Dataset
+    from neurec_tpu.models import get_model
+    from neurec_tpu.trainer import Trainer
+
+    np.random.seed(2018)
+    random.seed(2018)
+
+    epochs, extra = SWEEP[name]
+    cmd_args = [
+        "--recommender=%s" % name,
+        "--epochs=%d" % epochs,
+        "--verbose=%d" % max(epochs, 1),
+    ] + list(extra)
+    conf = Config(
+        os.path.join(REPO, "NeuRec.properties"),
+        default_section="hyperparameters",
+        cmd_args=cmd_args,
+    )
+    dataset = Dataset(conf)
+    model = get_model(name)(dataset, conf)
+    trainer = Trainer(model, dataset, conf)
+
+    t0 = time.time()
+    trainer.train()
+    train_s = time.time() - t0
+
+    header = trainer.evaluator.metrics_info()
+    values = trainer.evaluate()
+    names = header.split("metrics:\t", 1)[1].split("\t")
+    rec = {"epochs": epochs, "train_time_s": round(train_s, 1)}
+    for k, v in zip(names, values.split("\t")):
+        rec[k.strip()] = round(float(v), 5)
+    return rec
+
+
+def merge(name: str, rec: dict) -> None:
+    data = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            data = json.load(f)
+    data[name] = rec
+    with open(OUT, "w") as f:
+        json.dump(data, f, indent=1)
+
+
+def drive(only=None) -> int:
+    done = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            done = json.load(f)
+    targets = [only] if only else list(SWEEP)
+    failures = []
+    for name in targets:
+        if name in done and "error" not in done[name]:
+            print("skip %s (done)" % name, flush=True)
+            continue
+        print("=== %s ===" % name, flush=True)
+        t0 = time.time()
+        try:
+            env = dict(os.environ)
+            # keep the axon sitecustomize on the path (CLAUDE.md quirk)
+            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                cwd=REPO,
+                env=env,
+                timeout=PER_MODEL_TIMEOUT_S,
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(proc.stdout[-2000:] + proc.stderr[-2000:])
+        except Exception as e:  # noqa: BLE001 - record and continue the sweep
+            print("FAILED %s: %s" % (name, str(e)[:500]), flush=True)
+            merge(name, {"error": str(e)[-1000:]})
+            failures.append(name)
+            continue
+        print(
+            "ok %s (%.0fs total)" % (name, time.time() - t0), flush=True
+        )
+    if failures:
+        print("failures:", failures, flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--one", help="run a single model in-process and merge")
+    ap.add_argument("--only", help="driver mode, single model subprocess")
+    a = ap.parse_args()
+    if a.one:
+        merge(a.one, run_one(a.one))
+        print("done", a.one)
+    else:
+        sys.exit(drive(a.only))
