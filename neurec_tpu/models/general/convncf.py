@@ -9,7 +9,14 @@ Parity with model/general_recommender/ConvNCF.py:45-150:
   gamma(W, b), lambda_weight(all conv kernels + W, b);
 * two Adagrad optimizers — lr_embed for the embedding tables, lr_net for
   the conv/dense parameters (ConvNCF.py:138-150) — realised with
-  optax.multi_transform over param labels.
+  optax.multi_transform over param labels;
+* optional embedding warm-start from ``mf_pretrain``/``mlp_pretrain``
+  pickles (ConvNCF.py:148-163). Deviation: the reference assigns the whole
+  first pickle to P and the whole second to Q (`_create_variables`,
+  ConvNCF.py:73-76), which only works when each file holds a single array;
+  here a ``[P, Q]`` pair in ``mf_pretrain`` (the NeuMF/`pretrain.py` layout)
+  is also accepted. The reference's `_create_pre_optimizer` (ConvNCF.py:129)
+  is dead code — never run by train_model — and is not reproduced.
 
 Full-catalog predict runs the CNN over every (user, item) pair, chunked
 over items (the reference feeds per-user full-item batches).
@@ -25,6 +32,7 @@ import optax
 from neurec_tpu.models.base import Recommender, register
 from neurec_tpu.ops.initializers import get_initializer
 from neurec_tpu.ops.losses import l2_loss, pairwise_loss
+from neurec_tpu.pretrain import try_load
 
 _PREDICT_CHUNK = 256
 
@@ -48,6 +56,8 @@ class ConvNCF(Recommender):
         self.embed_init_method = config.get("embed_init_method", "tnormal")
         self.weight_init_method = config.get("weight_init_method", "xavier_normal")
         self.stddev = float(config.get("stddev", 0.01))
+        self.mf_pretrain = config.get("mf_pretrain", "")
+        self.mlp_pretrain = config.get("mlp_pretrain", "")
         if 2 ** len(self.nc) != self.embedding_size:
             raise ValueError(
                 "ConvNCF needs len(net_channel) stride-2 convs to reduce the "
@@ -89,6 +99,23 @@ class ConvNCF(Recommender):
             params["conv"].append(
                 {"w": w_init(k, (2, 2, isz, osz)), "b": jnp.full((osz,), 0.1)}
             )
+        return self._try_warm_start(params)
+
+    def _try_warm_start(self, params):
+        """Warm-start P/Q from pretrain pickles (ConvNCF.py:148-163)."""
+        loaded = try_load(self.mf_pretrain)
+        if loaded is None:
+            return params
+        first = loaded[0]
+        if isinstance(first, (list, tuple)) and len(first) >= 2:
+            p, q = first[0], first[1]              # [P, Q] single-file layout
+        else:
+            second = try_load(self.mlp_pretrain)
+            if second is None:
+                return params
+            p, q = first, second[0]
+        params["embedding_P"] = jnp.asarray(p)
+        params["embedding_Q"] = jnp.asarray(q)
         return params
 
     def _cnn(self, params, images, rng=None, training=False):

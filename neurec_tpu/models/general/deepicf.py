@@ -13,6 +13,13 @@ Parity with model/general_recommender/DeepICF.py:100-175:
 Batch-norm deviation: the reference keeps moving averages for inference
 (DeepICF.py:53-58); here batch statistics are used in both phases (the
 functional trainer carries no mutable BN state).
+
+Pretrain: FISM warm-start via `pretrain_file` is inherited from NAIS
+(a `[Q_set, Q, bias]` pickle — see `neurec_tpu/pretrain.py`). The
+reference's two-pickle path (DeepICF.py:186-197) passes the LIST of both
+pickles where `_create_variables` expects the three FISM arrays
+(DeepICF.py:68-81) and would crash if the files existed — the working
+single-pickle semantics are kept, the broken `mlp_pretrain` leg is not.
 """
 
 from __future__ import annotations

@@ -19,8 +19,6 @@ reference's per-user sequential SGD updates as a scan over users.
 
 from __future__ import annotations
 
-import pickle
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,6 +26,7 @@ import optax
 
 from neurec_tpu.data.padded import build_padded_positives
 from neurec_tpu.models.base import Recommender, register
+from neurec_tpu.pretrain import try_load
 
 
 @register("IRGAN")
@@ -75,16 +74,14 @@ class IRGAN(Recommender):
 
         kg, kd = jax.random.split(rng)
         gen = mf_init(kg)
-        try:
-            with open(self.pretrain_file, "rb") as fin:
-                p = pickle.load(fin, encoding="latin")
+        loaded = try_load(self.pretrain_file)
+        if loaded is not None:
+            p = loaded[0]
             gen = {
                 "user_emb": jnp.asarray(p[0]),
                 "item_emb": jnp.asarray(p[1]),
                 "item_bias": jnp.asarray(p[2]),
             }
-        except (OSError, TypeError, ValueError, pickle.PickleError):
-            pass
         return {"gen": gen, "dis": mf_init(kd)}
 
     @staticmethod

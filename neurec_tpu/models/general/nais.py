@@ -22,8 +22,6 @@ user's set per candidate item on the host, NAIS.py:246-256).
 
 from __future__ import annotations
 
-import pickle
-
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +29,7 @@ from neurec_tpu.data.padded import build_padded_positives
 from neurec_tpu.models.base import Recommender, register
 from neurec_tpu.ops.initializers import get_initializer
 from neurec_tpu.ops.losses import l2_loss, pairwise_loss, pointwise_loss
+from neurec_tpu.pretrain import try_load
 
 _ACTS = {0: jax.nn.relu, 1: jax.nn.sigmoid, 2: jnp.tanh,
          "relu": jax.nn.relu, "sigmoid": jax.nn.sigmoid, "tanh": jnp.tanh}
@@ -83,14 +82,12 @@ class NAIS(Recommender):
             "b": w_init(k4, (1, w)),
             "h": jnp.ones((w, 1)),
         }
-        try:
-            with open(self.pretrain_file, "rb") as fin:
-                fism = pickle.load(fin, encoding="utf-8")
+        loaded = try_load(self.pretrain_file)
+        if loaded is not None:
+            fism = loaded[0]
             params["Q_set"] = jnp.asarray(fism[0])
             params["Q"] = jnp.asarray(fism[1])
             params["bias"] = jnp.asarray(fism[2])
-        except (OSError, TypeError, ValueError, pickle.PickleError):
-            pass
         return params
 
     def _att_pool(self, params, set_emb, q_target, slot_mask):

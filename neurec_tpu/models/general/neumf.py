@@ -14,8 +14,6 @@ NeuMF.py:164-169).
 
 from __future__ import annotations
 
-import pickle
-
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +21,7 @@ from neurec_tpu.models.base import Recommender, register
 from neurec_tpu.ops.initializers import get_initializer
 from neurec_tpu.ops.losses import l2_loss, pairwise_loss, pointwise_loss
 from neurec_tpu.ops.towers import apply_dense_stack, init_dense_stack
+from neurec_tpu.pretrain import try_load
 
 _PREDICT_CHUNK = 4096
 
@@ -59,17 +58,13 @@ class NeuMF(Recommender):
 
     def _try_warm_start(self, params):
         """Load pickled [user_emb, item_emb] pretrain pairs if present."""
-        try:
-            with open(self.mf_pretrain, "rb") as fin:
-                mf = pickle.load(fin, encoding="utf-8")
-            with open(self.mlp_pretrain, "rb") as fin:
-                mlp = pickle.load(fin, encoding="utf-8")
+        loaded = try_load(self.mf_pretrain, self.mlp_pretrain)
+        if loaded is not None:
+            mf, mlp = loaded
             params["mf_user"] = jnp.asarray(mf[0])
             params["mf_item"] = jnp.asarray(mf[1])
             params["mlp_user"] = jnp.asarray(mlp[0])
             params["mlp_item"] = jnp.asarray(mlp[1])
-        except (OSError, TypeError, ValueError, pickle.PickleError):
-            pass
         return params
 
     def _forward(self, params, users, items):

@@ -17,6 +17,11 @@ Deviations (documented): the reference's 100-fold sparse split
 device segment-sum; node/message dropout are applied only during training
 (the reference bakes always-on tf.nn.dropout into the graph, active even at
 eval, NGCF.py:193).
+
+Pretrain: the reference declares a pretrained-embedding path
+(`pre_train_data`, NGCF.py:43, 255-266) but never loads it from anywhere —
+dead code. Here `pretrain_file` (a `[user_emb, item_emb]` pickle, the
+`pretrain.py` MF layout) makes that capability reachable.
 """
 
 from __future__ import annotations
@@ -29,6 +34,7 @@ from neurec_tpu.models.base import Recommender, register
 from neurec_tpu.ops.graph import SparseAdj, build_norm_adjacency, spmm
 from neurec_tpu.ops.initializers import get_initializer
 from neurec_tpu.ops.losses import l2_loss
+from neurec_tpu.pretrain import try_load
 
 
 def _l2norm(x, axis=1, eps=1e-12):
@@ -53,6 +59,7 @@ class NGCF(Recommender):
         self.embed_init_method = config.get("embed_init_method", "xavier_normal")
         self.weight_init_method = config.get("weight_init_method", "xavier_normal")
         self.stddev = float(config.get("stddev", 0.01))
+        self.pretrain_file = config.get("pretrain_file", "")
         # NGCF's 'norm' includes self loops before normalization; map through
         # the shared builder (same math as NGCF.py:298-317)
         self.adj = build_norm_adjacency(dataset.train_matrix, self.adj_type)
@@ -76,6 +83,10 @@ class NGCF(Recommender):
             params["b_bi"].append(w_init(ks[3], (1, dims[k + 1])))
             params["W_mlp"].append(w_init(ks[4], (dims[k], dims[k + 1])))
             params["b_mlp"].append(w_init(ks[5], (1, dims[k + 1])))
+        loaded = try_load(self.pretrain_file)
+        if loaded is not None:
+            params["user_emb"] = jnp.asarray(loaded[0][0])
+            params["item_emb"] = jnp.asarray(loaded[0][1])
         return params
 
     def param_shardings(self, mesh):
