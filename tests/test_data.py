@@ -165,3 +165,45 @@ def test_pad_sequences():
     np.testing.assert_array_equal(pre[0], [2, 3])
     np.testing.assert_array_equal(pre[1], [9, 4])
     np.testing.assert_array_equal(pre[2], [9, 9])
+
+
+def test_given_splitter(tmp_path):
+    """splitter=given loads pre-split .train/.test files (dataset.py:76-83
+    of the reference; gowalla ships this way) and remaps ids jointly."""
+    rng = np.random.RandomState(1)
+    train_rows, test_rows = [], []
+    for u in range(15):
+        items = rng.choice(40, size=10, replace=False)
+        for i in items[:8]:
+            train_rows.append((u + 7, i + 100))
+        for i in items[8:]:
+            test_rows.append((u + 7, i + 100))
+    for name, rows in (("toy.train", train_rows), ("toy.test", test_rows)):
+        with open(tmp_path / name, "w") as f:
+            for r in rows:
+                f.write(",".join(str(x) for x in r) + "\n")
+    conf = _toy_config(
+        tmp_path,
+        **{
+            "splitter": "given",
+            "data.column.format": "UI",
+            "data.convert.separator": "','",
+            "by_time": "False",
+        },
+    )
+    ds = Dataset(conf)
+    assert ds.num_users == 15
+    assert ds.train_matrix.nnz == len(train_rows)
+    assert ds.test_matrix.nnz == len(test_rows)
+    # joint remap: a test item also in train shares one id space
+    raw_pairs = {(u, i) for u, i in train_rows}
+    tr = csr_to_user_dict(ds.train_matrix)
+    inv_u = {v: k for k, v in ds.userids.items()}
+    inv_i = {v: k for k, v in ds.itemids.items()}
+    got = {(inv_u[u], inv_i[i]) for u, items in tr.items() for i in items}
+    assert got == raw_pairs
+
+    # cache round-trip
+    ds2 = Dataset(conf)
+    assert (ds2.train_matrix != ds.train_matrix).nnz == 0
+    assert (ds2.test_matrix != ds.test_matrix).nnz == 0
