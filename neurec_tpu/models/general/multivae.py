@@ -22,21 +22,13 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from neurec_tpu.ops.activations import activation_function
 from neurec_tpu.models.base import Recommender, register
 from neurec_tpu.models.general.ae_common import DenseRowMixin
 from neurec_tpu.ops.initializers import get_initializer
 
 
-def _activation(name: str):
-    return {
-        "tanh": jnp.tanh,
-        "relu": jax.nn.relu,
-        "sigmoid": jax.nn.sigmoid,
-        "identity": lambda x: x,
-        "elu": jax.nn.elu,
-        "selu": jax.nn.selu,
-        "softplus": jax.nn.softplus,
-    }[name.lower()]
+_activation = activation_function
 
 
 def _l2_normalize(x, axis=-1, eps=1e-12):
