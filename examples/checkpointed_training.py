@@ -1,6 +1,11 @@
 """Checkpoint/resume example: kill this script mid-run and re-run it —
 training continues from the last saved epoch."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from neurec_tpu.checkpoint import attach_to_trainer
 from neurec_tpu.config import Config
 from neurec_tpu.data.dataset import Dataset

@@ -5,6 +5,11 @@ Equivalent of the reference's tutorial.ipynb walkthrough
 Run from the repo root:  python examples/train_mf.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from neurec_tpu.config import Config
 from neurec_tpu.data.dataset import Dataset
 from neurec_tpu.models import get_model

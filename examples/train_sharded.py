@@ -8,6 +8,11 @@ size 1). To simulate without hardware:
 (note: under the axon tunnel, also jax.config.update("jax_platforms","cpu"))
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 
 from neurec_tpu.config import Config

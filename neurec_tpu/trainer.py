@@ -112,6 +112,9 @@ class Trainer:
         self.mesh = mesh
         self.seed = seed
         self.logger = logger or run_logger(config, dataset.dataset_name)
+        # --trace_dir=<dir> captures a jax.profiler device trace of the run
+        # (TensorBoard/Perfetto); the reference's only tracing is @timer.
+        self.trace_dir = config.get("trace_dir", None) or None
         self.evaluator = Evaluator.from_dataset(dataset, config)
         if hasattr(model, "make_optimizer"):
             self.tx = model.make_optimizer()
@@ -297,6 +300,16 @@ class Trainer:
         self._epoch_fn = self._build_epoch_fn()
 
     def train(self):
+        if self.trace_dir:
+            from neurec_tpu.profiling import device_trace
+
+            with device_trace(self.trace_dir):
+                result = self._train()
+            self.logger.info("device trace written to %s" % self.trace_dir)
+            return result
+        return self._train()
+
+    def _train(self):
         if self.params is None:
             self.initialize()
         model = self.model
