@@ -9,6 +9,11 @@ catalog, and the single-dispatch evaluator.
 Run:  python benchmarks/scale_bench.py [--users 30000 --items 40000 --nnz 1500000]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import time

@@ -5,6 +5,8 @@ fused on-device sampling -> on-device evaluator — and that learning actually
 happens (NDCG@10 well above the random-ranking baseline).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -106,3 +108,29 @@ def test_pointwise_mf(tmp_path):
     assert len(result.split("\t")) == 10  # 5 metrics x 2 ks
     raw = trainer.evaluator.evaluator.evaluate_raw(model.predict, trainer.params)
     assert raw[2, 0] > 0.10
+
+
+def test_trace_dir_writes_device_trace(tmp_path):
+    """--trace_dir captures a jax.profiler trace of the whole run."""
+    make_synthetic_dataset(tmp_path, num_users=20, num_items=30)
+    trace_dir = str(tmp_path / "trace")
+    conf = make_config(
+        tmp_path,
+        recommender="MF",
+        alg_props={
+            "epochs": 1, "batch_size": 64, "embedding_size": 4,
+            "reg_mf": 0.0, "learning_rate": 0.05, "learner": "adam",
+            "num_negatives": 1, "is_pairwise": "True",
+            "loss_function": "bpr", "init_method": "normal",
+            "stddev": 0.01, "verbose": 1,
+        },
+        trace_dir=trace_dir,
+    )
+    ds = Dataset(conf)
+    model = get_model("MF")(ds, conf)
+    trainer = Trainer(model, ds, conf, logger=SilentLogger())
+    trainer.train()
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += [f for f in files if f.endswith((".pb", ".json.gz"))]
+    assert found, "no trace artifacts under %s" % trace_dir
