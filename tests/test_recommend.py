@@ -1,0 +1,55 @@
+"""batch_topk serving export: device ranking matches numpy, train items
+excluded, original-id round-trip handled by the caller."""
+
+import jax
+import numpy as np
+
+from neurec_tpu.data.dataset import Dataset
+from neurec_tpu.models import get_model
+from neurec_tpu.recommend import batch_topk
+from tests.helpers import make_config, make_synthetic_dataset
+
+
+def test_batch_topk_matches_numpy(tmp_path):
+    make_synthetic_dataset(tmp_path, num_users=25, num_items=40)
+    conf = make_config(tmp_path, recommender="MF",
+                       alg_props={"embedding_size": 8})
+    ds = Dataset(conf)
+    model = get_model("MF")(ds, conf)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    k = 5
+    items, scores = batch_topk(
+        model, params, k=k, train_matrix=ds.train_matrix, batch_size=8
+    )
+    assert items.shape == (ds.num_users, k)
+
+    full = np.asarray(
+        model.predict(params, np.arange(ds.num_users, dtype=np.int32))
+    ).astype(np.float32)
+    for u in range(ds.num_users):
+        row = full[u].copy()
+        row[ds.train_matrix[u].indices] = -np.inf
+        expect = set(np.argsort(-row)[:k].tolist())
+        assert set(items[u].tolist()) == expect
+        # no train item leaked
+        assert not set(items[u].tolist()) & set(ds.train_matrix[u].indices)
+        # scores sorted descending
+        assert np.all(np.diff(scores[u]) <= 1e-6)
+
+
+def test_batch_topk_subset_and_no_mask(tmp_path):
+    make_synthetic_dataset(tmp_path, num_users=25, num_items=40)
+    conf = make_config(tmp_path, recommender="MF",
+                       alg_props={"embedding_size": 8})
+    ds = Dataset(conf)
+    model = get_model("MF")(ds, conf)
+    params = model.init_params(jax.random.PRNGKey(1))
+
+    some = np.array([3, 11, 7], dtype=np.int32)
+    items, scores = batch_topk(model, params, k=4, users=some, batch_size=2)
+    assert items.shape == (3, 4)
+    full = np.asarray(model.predict(params, some)).astype(np.float32)
+    for r, u in enumerate(some):
+        expect = set(np.argsort(-full[r])[:4].tolist())
+        assert set(items[r].tolist()) == expect
