@@ -65,7 +65,9 @@ class UniEvaluator:
         batch_size: int = 1024,
         num_items: Optional[int] = None,
         num_thread: int = 8,  # accepted for API parity; unused on device
+        mesh=None,
     ):
+        self.mesh = mesh
         if metric is None:
             metric = list(METRIC_NAMES)
         elif isinstance(metric, str):
@@ -158,6 +160,9 @@ class UniEvaluator:
         use_pallas = (
             factorized is not None
             and jax.devices()[0].platform.lower() != "cpu"
+            # pallas_call is not SPMD-partitionable by XLA: under a >1-device
+            # mesh the sharded-batch eval uses the XLA scatter path instead
+            and (self.mesh is None or self.mesh.size == 1)
         )
         if use_pallas:
             from neurec_tpu.ops.pallas_kernels import masked_scores
@@ -267,6 +272,13 @@ class UniEvaluator:
         )
 
         B = min(self.batch_size, max(len(users), 1))
+        # under a mesh, user batches are sharded over the 'data' axis — each
+        # chip scores/ranks its own slice of users and only the (5, K) metric
+        # sums are psum-reduced, so eval throughput scales with the mesh
+        n_data = 1
+        if self.mesh is not None and "data" in self.mesh.axis_names:
+            n_data = self.mesh.shape["data"]
+            B = -(-B // n_data) * n_data  # round up to a multiple of n_data
         n_batches = (len(users) + B - 1) // B
         n_pad = n_batches * B
         valid = np.zeros(n_pad, dtype=np.float32)
@@ -279,6 +291,13 @@ class UniEvaluator:
         users_b = jnp.asarray(users_pad.reshape(n_batches, B))
         sel_b = jnp.asarray(sel.reshape(n_batches, B))
         valid_b = jnp.asarray(valid.reshape(n_batches, B))
+        if n_data > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            bsh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
+            users_b = jax.device_put(users_b, bsh)
+            sel_b = jax.device_put(sel_b, bsh)
+            valid_b = jax.device_put(valid_b, bsh)
         if self.user_neg_test is not None:
             total, count = cand_all(params, users_b, sel_b, valid_b)
         else:
@@ -318,6 +337,7 @@ class GroupedEvaluator:
         batch_size=1024,
         num_items=None,
         num_thread=8,
+        mesh=None,
     ):
         if not isinstance(group_view, list):
             raise TypeError("The type of 'group_view' must be `list`!")
@@ -330,6 +350,7 @@ class GroupedEvaluator:
             batch_size=batch_size,
             num_items=num_items,
             num_thread=num_thread,
+            mesh=mesh,
         )
         group_list = [0] + group_view
         group_info = [
@@ -379,6 +400,7 @@ class Evaluator:
         batch_size=1024,
         num_items=None,
         num_thread=8,
+        mesh=None,
     ):
         if group_view is not None:
             self.evaluator = GroupedEvaluator(
@@ -391,6 +413,7 @@ class Evaluator:
                 batch_size=batch_size,
                 num_items=num_items,
                 num_thread=num_thread,
+                mesh=mesh,
             )
         else:
             self.evaluator = UniEvaluator(
@@ -402,10 +425,11 @@ class Evaluator:
                 batch_size=batch_size,
                 num_items=num_items,
                 num_thread=num_thread,
+                mesh=mesh,
             )
 
     @classmethod
-    def from_dataset(cls, dataset, config) -> "Evaluator":
+    def from_dataset(cls, dataset, config, mesh=None) -> "Evaluator":
         return cls(
             dataset.get_user_train_dict(),
             dataset.get_user_test_dict(),
@@ -416,6 +440,7 @@ class Evaluator:
             batch_size=config.get("test_batch_size", 1024),
             num_items=dataset.num_items,
             num_thread=config.get("num_thread", 8),
+            mesh=mesh,
         )
 
     def metrics_info(self) -> str:

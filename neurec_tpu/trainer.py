@@ -115,7 +115,7 @@ class Trainer:
         # --trace_dir=<dir> captures a jax.profiler device trace of the run
         # (TensorBoard/Perfetto); the reference's only tracing is @timer.
         self.trace_dir = config.get("trace_dir", None) or None
-        self.evaluator = Evaluator.from_dataset(dataset, config)
+        self.evaluator = Evaluator.from_dataset(dataset, config, mesh=mesh)
         if hasattr(model, "make_optimizer"):
             self.tx = model.make_optimizer()
         else:

@@ -84,3 +84,40 @@ def test_sharded_matches_single_device(tmp_path):
             )
         results.append(np.asarray(tr.params["item_emb"]))
     np.testing.assert_allclose(results[0], results[1], rtol=5e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_eval_matches_single_device(tmp_path):
+    """DP-sharded evaluation (user batches over 'data') == unsharded eval."""
+    make_synthetic_dataset(tmp_path)
+    conf = make_config(
+        tmp_path,
+        recommender="MF",
+        alg_props={
+            "epochs": 1,
+            "batch_size": 128,
+            "embedding_size": 8,
+            "reg_mf": 0.0,
+            "learning_rate": 0.05,
+            "learner": "adam",
+            "num_negatives": 1,
+            "is_pairwise": "True",
+            "loss_function": "bpr",
+            "init_method": "normal",
+            "stddev": 0.01,
+            "verbose": 1,
+        },
+    )
+    dataset = Dataset(conf)
+    model = get_model("MF")(dataset, conf)
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    from neurec_tpu.eval.evaluator import Evaluator
+
+    ev_single = Evaluator.from_dataset(dataset, conf)
+    ev_mesh = Evaluator.from_dataset(dataset, conf, mesh=mesh)
+    r_single = ev_single.evaluator.evaluate_raw(model.predict, params)
+    sharded_params = jax.device_put(params, model.param_shardings(mesh))
+    r_mesh = ev_mesh.evaluator.evaluate_raw(model.predict, sharded_params)
+    np.testing.assert_allclose(r_single, r_mesh, rtol=1e-5, atol=1e-6)
