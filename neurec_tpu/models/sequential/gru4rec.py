@@ -79,6 +79,29 @@ class GRU4Rec(Recommender):
         ))
         self._sched_len = None  # static schedule length, grown on demand
 
+        # flat per-user transition arrays for the vectorized schedule builder:
+        # user u's transitions live at _flat_in/_flat_out[_trans_off[u] :
+        # _trans_off[u] + _trans_len[u]]
+        self._trans_len = np.array(
+            [max(len(s) - 1, 0) if len(s) >= 2 else 0 for s in self._user_seqs],
+            dtype=np.int64,
+        )
+        self._trans_off = np.concatenate(
+            [[0], np.cumsum(self._trans_len)[:-1]]
+        ).astype(np.int64)
+        ins_parts = [
+            np.asarray(s[:-1], np.int32) for s in self._user_seqs if len(s) >= 2
+        ]
+        outs_parts = [
+            np.asarray(s[1:], np.int32) for s in self._user_seqs if len(s) >= 2
+        ]
+        self._flat_in = (
+            np.concatenate(ins_parts) if ins_parts else np.zeros(0, np.int32)
+        )
+        self._flat_out = (
+            np.concatenate(outs_parts) if outs_parts else np.zeros(0, np.int32)
+        )
+
     def _final_act(self, x):
         if self.final_act_name == "relu":
             return jax.nn.relu(x)
@@ -107,48 +130,59 @@ class GRU4Rec(Recommender):
 
     # -- session-parallel schedule (host) -----------------------------------
     def _build_schedule(self, perm: np.ndarray, B: int):
-        """Arrays (steps, B): in items, out items, reset mask, validity."""
-        seqs = [self._user_seqs[u] for u in perm if len(self._user_seqs[u]) >= 2]
-        ins, outs, resets, valids = [], [], [], []
-        pos = np.zeros(B, dtype=np.int64)    # next transition index per stream
-        cur = np.full(B, -1, dtype=np.int64)  # which seq each stream runs
-        next_seq = 0
-        alive = np.zeros(B, dtype=bool)
-        reset_row = np.ones(B, dtype=bool)
-        for b in range(B):
-            if next_seq < len(seqs):
-                cur[b] = next_seq
-                alive[b] = True
-                next_seq += 1
-        while alive.any():
-            in_row = np.zeros(B, dtype=np.int32)
-            out_row = np.zeros(B, dtype=np.int32)
-            valid_row = alive.copy()
-            for b in range(B):
-                if alive[b]:
-                    s = seqs[cur[b]]
-                    in_row[b] = s[pos[b]]
-                    out_row[b] = s[pos[b] + 1]
-            ins.append(in_row)
-            outs.append(out_row)
-            resets.append(reset_row.copy())
-            valids.append(valid_row)
-            reset_row = np.zeros(B, dtype=bool)
-            pos += alive
-            for b in range(B):
-                if alive[b] and pos[b] + 1 >= len(seqs[cur[b]]):
-                    reset_row[b] = True
-                    if next_seq < len(seqs):
-                        cur[b] = next_seq
-                        pos[b] = 0
-                        next_seq += 1
-                    else:
-                        alive[b] = False
+        """Arrays (steps, B): in items, out items, reset mask, validity.
+
+        Session-parallel semantics (GRU4Rec.py:134-177): B streams advance
+        in lockstep; a stream finishing its sequence picks up the next
+        unconsumed one at the following step with its GRU state reset.
+        That per-step scheduling is equivalent to greedy earliest-finish
+        assignment (ties broken by stream index), so instead of the
+        reference's O(steps x B) per-step Python loop the schedule is built
+        as: a heapq pass assigns each sequence a (stream, start_step) slot
+        in O(S log B), then every array is filled by one vectorized numpy
+        scatter from precomputed flat per-user transition arrays.
+        """
+        users = perm[self._trans_len[perm] > 0]
+        S = len(users)
+        if S == 0:
+            z = np.zeros((0, B), np.int32)
+            return z, z.copy(), np.zeros((0, B), bool), np.zeros((0, B), bool)
+
+        seg_len = self._trans_len[users]  # transitions per sequence
+        # greedy earliest-finish-first assignment — identical to the
+        # lockstep scheduler: pops order by (finish_time, stream index)
+        import heapq
+
+        heap = [(0, b) for b in range(min(B, S))]
+        b_arr = np.zeros(S, dtype=np.int64)
+        t_arr = np.zeros(S, dtype=np.int64)
+        for k in range(S):
+            t, b = heapq.heappop(heap)
+            b_arr[k] = b
+            t_arr[k] = t
+            heapq.heappush(heap, (t + int(seg_len[k]), b))
+        T = int(np.max(t_arr + seg_len))
+
+        total = int(seg_len.sum())
+        seg_off = np.concatenate([[0], np.cumsum(seg_len)[:-1]])
+        within = np.arange(total, dtype=np.int64) - np.repeat(seg_off, seg_len)
+        dst = (np.repeat(t_arr, seg_len) + within) * B + np.repeat(b_arr, seg_len)
+        src = np.repeat(self._trans_off[users], seg_len) + within
+
+        ins = np.zeros(T * B, dtype=np.int32)
+        outs = np.zeros(T * B, dtype=np.int32)
+        valids = np.zeros(T * B, dtype=bool)
+        resets = np.zeros(T * B, dtype=bool)
+        ins[dst] = self._flat_in[src]
+        outs[dst] = self._flat_out[src]
+        valids[dst] = True
+        resets[t_arr * B + b_arr] = True
+        resets[:B] = True  # step 0 starts every stream from a fresh state
         return (
-            np.stack(ins) if ins else np.zeros((0, B), np.int32),
-            np.stack(outs) if outs else np.zeros((0, B), np.int32),
-            np.stack(resets) if resets else np.zeros((0, B), bool),
-            np.stack(valids) if valids else np.zeros((0, B), bool),
+            ins.reshape(T, B),
+            outs.reshape(T, B),
+            resets.reshape(T, B),
+            valids.reshape(T, B),
         )
 
     def _extra_negatives(self, key):
