@@ -21,8 +21,8 @@ def load_social_matrix(dataset, config) -> sp.csr_matrix:
         names=["user", "friend"],
     )
     users_key = np.array(list(dataset.userids.keys()))
-    social_users = social_users[np.in1d(social_users["user"], users_key)]
-    social_users = social_users[np.in1d(social_users["friend"], users_key)]
+    social_users = social_users[np.isin(social_users["user"], users_key)]
+    social_users = social_users[np.isin(social_users["friend"], users_key)]
     user_id = [dataset.userids[u] for u in social_users["user"]]
     friend_id = [dataset.userids[u] for u in social_users["friend"]]
     num_users = dataset.num_users

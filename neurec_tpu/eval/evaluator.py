@@ -42,6 +42,14 @@ from neurec_tpu.ops.metrics import METRIC_INDEX, METRIC_NAMES, all_metrics, hit_
 PredictFn = Callable[[object, jnp.ndarray], jnp.ndarray]
 
 
+def _pallas_interpret_forced() -> bool:
+    """Tests set NEUREC_PALLAS_INTERPRET=1 to exercise the Pallas eval path
+    (incl. its shard_map partitioning) on the CPU mesh in interpreter mode."""
+    import os
+
+    return os.environ.get("NEUREC_PALLAS_INTERPRET", "") == "1"
+
+
 def _pad_rows(rows: List[List[int]], pad_value: int, min_len: int = 1):
     max_len = max(max((len(r) for r in rows), default=0), min_len)
     out = np.full((len(rows), max_len), pad_value, dtype=np.int32)
@@ -157,20 +165,54 @@ class UniEvaluator:
         # instead of XLA's concat/scatter/slice chain
         model = getattr(predict_fn, "__self__", None)
         factorized = getattr(model, "eval_embeddings", None)
-        use_pallas = (
-            factorized is not None
-            and jax.devices()[0].platform.lower() != "cpu"
-            # pallas_call is not SPMD-partitionable by XLA: under a >1-device
-            # mesh the sharded-batch eval uses the XLA scatter path instead
-            and (self.mesh is None or self.mesh.size == 1)
+        interpret = _pallas_interpret_forced()
+        use_pallas = factorized is not None and (
+            interpret or jax.devices()[0].platform.lower() != "cpu"
         )
         if use_pallas:
             from neurec_tpu.ops.pallas_kernels import masked_scores
 
+            def masked_fn(u_vecs, item_table, train_rows):
+                return masked_scores(
+                    u_vecs, item_table, train_rows, interpret=interpret
+                )
+
+            if self.mesh is not None and self.mesh.size > 1:
+                # pallas_call is not SPMD-partitionable by GSPMD, so under a
+                # multi-chip mesh the kernel is manually partitioned with
+                # shard_map: each device scores+masks its own batch slice
+                # against a (gathered) full item table — the table (I, d) is
+                # far smaller than the score matrix (B, I) a top_k-side
+                # gather would move. Axes the specs don't name ('model')
+                # replicate the kernel; eval scales with the 'data' axis.
+                from jax.sharding import PartitionSpec as P
+
+                try:
+                    from jax import shard_map
+
+                    _rep_kw = {"check_vma": False}
+                except ImportError:  # jax < 0.8
+                    from jax.experimental.shard_map import shard_map
+
+                    _rep_kw = {"check_rep": False}
+
+                if "data" in self.mesh.axis_names:
+                    masked_fn = shard_map(
+                        masked_fn,
+                        mesh=self.mesh,
+                        in_specs=(P("data"), P(), P("data")),
+                        out_specs=P("data"),
+                        **_rep_kw,
+                    )
+
         def full_catalog_step(params, users, train_rows, test_rows, test_lens, valid):
             if use_pallas:
                 u_vecs, item_table = factorized(params, users)
-                masked = masked_scores(u_vecs, item_table, train_rows)
+                masked = masked_fn(
+                    u_vecs.astype(jnp.float32),
+                    item_table.astype(jnp.float32),
+                    train_rows,
+                )
                 B = masked.shape[0]
             else:
                 scores = predict_fn(params, users).astype(jnp.float32)

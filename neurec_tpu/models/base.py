@@ -62,6 +62,23 @@ class Recommender:
         """
         return None
 
+    # models whose full-catalog scores factor as ``u_vecs @ item_table.T``
+    # define ``eval_embeddings(params, users) -> (u_vecs, item_table)`` so the
+    # evaluator can fuse scoring + train-item masking in one Pallas pass
+    # (neurec_tpu/eval/evaluator.py). ``_affine_eval`` folds a per-item bias
+    # into that form by appending a constant-1 column to the user vectors.
+    @staticmethod
+    def _affine_eval(u_vecs, item_table, item_bias=None):
+        if item_bias is None:
+            return u_vecs, item_table
+        ones = jnp.ones((u_vecs.shape[0], 1), u_vecs.dtype)
+        return (
+            jnp.concatenate([u_vecs, ones], axis=1),
+            jnp.concatenate(
+                [item_table, item_bias[:, None].astype(item_table.dtype)], axis=1
+            ),
+        )
+
 
 _REGISTRY: Dict[str, Type[Recommender]] = {}
 

@@ -94,3 +94,6 @@ class APR(Recommender):
 
     def predict(self, params, users):
         return params["embedding_P"][users] @ params["embedding_Q"].T
+
+    def eval_embeddings(self, params, users):
+        return params["embedding_P"][users], params["embedding_Q"]

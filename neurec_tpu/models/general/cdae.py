@@ -130,3 +130,8 @@ class CDAE(DenseRowMixin, Recommender):
         rows = self.make_rows(users)
         hidden = self._encode(params, users, rows, None, training=False)
         return hidden @ params["de_emb"].T + params["de_bias"]
+
+    def eval_embeddings(self, params, users):
+        rows = self.make_rows(users)
+        hidden = self._encode(params, users, rows, None, training=False)
+        return self._affine_eval(hidden, params["de_emb"], params["de_bias"])

@@ -103,3 +103,8 @@ class FISM(Recommender):
         p, n = self._set_sum(params, users)
         coeff = jnp.power(jnp.maximum(n, 1.0), -self.alpha)[:, None]
         return coeff * (p @ params["Q"].T) + params["bias"][None, :]
+
+    def eval_embeddings(self, params, users):
+        p, n = self._set_sum(params, users)
+        coeff = jnp.power(jnp.maximum(n, 1.0), -self.alpha)[:, None]
+        return self._affine_eval(coeff * p, params["Q"], params["bias"])

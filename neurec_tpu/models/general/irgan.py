@@ -224,3 +224,9 @@ class IRGAN(Recommender):
 
     def predict(self, params, users):
         return self._logits(params["gen"], users)
+
+    def eval_embeddings(self, params, users):
+        gen = params["gen"]
+        return self._affine_eval(
+            gen["user_emb"][users], gen["item_emb"], gen["item_bias"]
+        )

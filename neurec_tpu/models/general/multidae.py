@@ -69,3 +69,10 @@ class MultiDAE(DenseRowMixin, Recommender):
     def predict(self, params, users):
         rows = self.make_rows(users)
         return self._forward(params, rows, None, training=False)
+
+    def eval_embeddings(self, params, users):
+        # last layer is linear over items: factor it out
+        h = _l2_normalize(self.make_rows(users), axis=1)
+        for w, b in zip(params["w"][:-1], params["b"][:-1]):
+            h = self.act(h @ w + b)
+        return self._affine_eval(h, params["w"][-1].T, params["b"][-1])

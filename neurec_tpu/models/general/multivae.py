@@ -128,3 +128,11 @@ class MultiVAE(DenseRowMixin, Recommender):
         rows = self.make_rows(users)
         mu, _ = self._q_net(params, rows, None, training=False)
         return self._p_net(params, mu)
+
+    def eval_embeddings(self, params, users):
+        # the decoder's last layer is linear over items: factor it out
+        rows = self.make_rows(users)
+        h, _ = self._q_net(params, rows, None, training=False)
+        for w, b in zip(params["p_w"][:-1], params["p_b"][:-1]):
+            h = self.act(h @ w + b)
+        return self._affine_eval(h, params["p_w"][-1].T, params["p_b"][-1])

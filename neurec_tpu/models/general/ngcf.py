@@ -166,3 +166,7 @@ class NGCF(Recommender):
     def predict(self, params, users):
         u_table, i_table = self.propagate(params, None, training=False)
         return u_table[users] @ i_table.T
+
+    def eval_embeddings(self, params, users):
+        u_table, i_table = self.propagate(params, None, training=False)
+        return u_table[users], i_table

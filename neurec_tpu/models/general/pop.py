@@ -33,3 +33,7 @@ class Pop(Recommender):
         return jnp.broadcast_to(
             params["item_count"][None, :], (users.shape[0], self.num_items)
         )
+
+    def eval_embeddings(self, params, users):
+        ones = jnp.ones((users.shape[0], 1), jnp.float32)
+        return ones, params["item_count"][:, None].astype(jnp.float32)

@@ -101,3 +101,7 @@ class SpectralCF(Recommender):
     def predict(self, params, users):
         u_table, i_table = self.propagate(params)
         return u_table[users] @ i_table.T
+
+    def eval_embeddings(self, params, users):
+        u_table, i_table = self.propagate(params)
+        return u_table[users], i_table

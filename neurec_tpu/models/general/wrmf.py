@@ -95,3 +95,6 @@ class WRMF(Recommender):
 
     def predict(self, params, users):
         return params["user_emb"][users] @ params["item_emb"].T
+
+    def eval_embeddings(self, params, users):
+        return params["user_emb"][users], params["item_emb"]

@@ -198,3 +198,8 @@ class Caser(Recommender):
         seqs = self._user_test_seq[users]
         uvec = self._user_vec(params, users, seqs, training=False)
         return uvec @ params["item_emb"].T + params["item_bias"]
+
+    def eval_embeddings(self, params, users):
+        seqs = self._user_test_seq[users]
+        uvec = self._user_vec(params, users, seqs, training=False)
+        return self._affine_eval(uvec, params["item_emb"], params["item_bias"])

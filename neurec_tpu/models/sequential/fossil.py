@@ -124,3 +124,15 @@ class Fossil(SequentialMixin, Recommender):
         short, _ = self._short_term(params, users, recents)
         coeff = jnp.power(jnp.maximum(n, 1.0), -self.alpha)[:, None]
         return (coeff * full_sum + short) @ params["Q"].T + params["bias"][None, :]
+
+    def eval_embeddings(self, params, users):
+        rows = self._rows[users]
+        n = self._lens[users].astype(jnp.float32)
+        table = self._p_table(params)
+        full_sum = jnp.sum(table[rows], axis=1)
+        recents = self._recent_items[users][:, ::-1]
+        short, _ = self._short_term(params, users, recents)
+        coeff = jnp.power(jnp.maximum(n, 1.0), -self.alpha)[:, None]
+        return self._affine_eval(
+            coeff * full_sum + short, params["Q"], params["bias"]
+        )

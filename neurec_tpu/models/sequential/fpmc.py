@@ -82,3 +82,11 @@ class FPMC(SequentialMixin, Recommender):
         return params["UI"][users] @ params["IU"].T + (
             params["LI"][last] @ params["IL"].T
         )
+
+    def eval_embeddings(self, params, users):
+        last = self._recent_items[users, -1]
+        u_vecs = jnp.concatenate(
+            [params["UI"][users], params["LI"][last]], axis=1
+        )
+        table = jnp.concatenate([params["IU"], params["IL"]], axis=1)
+        return u_vecs, table

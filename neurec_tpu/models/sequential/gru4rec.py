@@ -70,6 +70,8 @@ class GRU4Rec(Recommender):
         self.loss_name = config.get("loss", self._valid_losses[0])
         if self.loss_name not in self._valid_losses:
             raise ValueError("There is no loss named '%s'." % self.loss_name)
+        if self.final_act_name != "linear":
+            self.eval_embeddings = None  # predict is not a plain dot product
 
         train_dict = dataset.get_user_train_dict(by_time=True)
         self._user_seqs = [train_dict.get(u, []) for u in range(self.num_users)]
@@ -325,3 +327,10 @@ class GRU4Rec(Recommender):
     def predict(self, params, users):
         state = self._user_states(params, users)
         return self._final_act(state @ params["item_emb"].T + params["item_bias"])
+
+    def eval_embeddings(self, params, users):
+        # only exact when final_act is identity — __init__ disables the hook
+        # for other activations (monotone ones would keep the ranking but the
+        # evaluator contract is exact score parity with predict)
+        state = self._user_states(params, users)
+        return self._affine_eval(state, params["item_emb"], params["item_bias"])

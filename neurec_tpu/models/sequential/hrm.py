@@ -74,3 +74,8 @@ class HRM(SequentialMixin, Recommender):
         recent = self._recent_items[users]
         hybrid, _, _ = self._hybrid(params, users, recent)
         return hybrid @ params["item_emb"].T
+
+    def eval_embeddings(self, params, users):
+        recent = self._recent_items[users]
+        hybrid, _, _ = self._hybrid(params, users, recent)
+        return hybrid, params["item_emb"]

@@ -64,3 +64,9 @@ class NPE(SequentialMixin, Recommender):
         ctx = jnp.sum(params["IL"][recent], axis=1)
         left = jax.nn.relu(params["UI"][users]) + jax.nn.relu(ctx)  # (B, d)
         return left @ jax.nn.relu(params["IU"]).T
+
+    def eval_embeddings(self, params, users):
+        recent = self._recent_items[users]
+        ctx = jnp.sum(params["IL"][recent], axis=1)
+        left = jax.nn.relu(params["UI"][users]) + jax.nn.relu(ctx)
+        return left, jax.nn.relu(params["IU"])

@@ -216,3 +216,8 @@ class SASRec(Recommender):
         h = self.encode(params, seq, training=False)
         last = h[:, -1, :]
         return last @ self._table(params)[: self.num_items].T
+
+    def eval_embeddings(self, params, users):
+        seq = self._eval_seq[users]
+        h = self.encode(params, seq, training=False)
+        return h[:, -1, :], self._table(params)[: self.num_items]

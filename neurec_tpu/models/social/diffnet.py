@@ -135,3 +135,7 @@ class DiffNet(Recommender):
     def predict(self, params, users):
         u_table, i_table = self._tables(params)
         return u_table[users] @ i_table.T
+
+    def eval_embeddings(self, params, users):
+        u_table, i_table = self._tables(params)
+        return u_table[users], i_table

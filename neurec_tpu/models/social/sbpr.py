@@ -169,3 +169,6 @@ class SBPR(Recommender):
 
     def predict(self, params, users):
         return params["user_emb"][users] @ params["item_emb"].T
+
+    def eval_embeddings(self, params, users):
+        return params["user_emb"][users], params["item_emb"]

@@ -34,6 +34,22 @@ def make_synthetic_dataset(tmp_path, num_users=60, num_items=80, seed=0,
     return path
 
 
+def assert_eval_embeddings_parity(model, params, num_check=5):
+    """Models defining ``eval_embeddings`` must factor ``predict`` exactly:
+    u_vecs @ item_table.T == predict(params, users) for the evaluator's
+    fused Pallas score+mask path to be score-exact."""
+    import jax.numpy as jnp
+
+    ee = getattr(model, "eval_embeddings", None)
+    if ee is None:
+        return
+    users = jnp.arange(num_check, dtype=jnp.int32)
+    u_vecs, table = ee(params, users)
+    got = np.asarray(u_vecs.astype(jnp.float32) @ table.astype(jnp.float32).T)
+    want = np.asarray(model.predict(params, users)).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def make_config(tmp_path, recommender="MF", alg_props=None, **overrides):
     from neurec_tpu.config import Config
 

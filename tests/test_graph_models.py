@@ -10,7 +10,11 @@ from neurec_tpu.data.dataset import Dataset
 from neurec_tpu.models import get_model
 from neurec_tpu.ops.graph import build_norm_adjacency, spmm
 from neurec_tpu.trainer import Trainer
-from tests.helpers import make_config, make_synthetic_dataset
+from tests.helpers import (
+    assert_eval_embeddings_parity,
+    make_config,
+    make_synthetic_dataset,
+)
 
 
 class SilentLogger:
@@ -105,6 +109,7 @@ def test_graph_model_smoke(graph_dataset, name):
         losses.append(float(loss))
     assert all(np.isfinite(losses)), losses
     assert losses[-1] <= losses[0]
+    assert_eval_embeddings_parity(model, trainer.params)
     result = trainer.evaluate()
     assert len(result.split("\t")) == 10
 

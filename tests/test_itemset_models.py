@@ -7,7 +7,11 @@ import pytest
 from neurec_tpu.data.dataset import Dataset
 from neurec_tpu.models import get_model
 from neurec_tpu.trainer import Trainer
-from tests.helpers import make_config, make_synthetic_dataset
+from tests.helpers import (
+    assert_eval_embeddings_parity,
+    make_config,
+    make_synthetic_dataset,
+)
 
 
 class SilentLogger:
@@ -77,6 +81,7 @@ def test_itemset_model_smoke(itemset_dataset, name):
         losses.append(float(loss))
     assert all(np.isfinite(losses)), losses
     assert losses[-1] <= losses[0], losses
+    assert_eval_embeddings_parity(model, trainer.params)
     result = trainer.evaluate()
     assert len(result.split("\t")) == 10
 

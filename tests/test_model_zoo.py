@@ -12,7 +12,11 @@ import pytest
 from neurec_tpu.data.dataset import Dataset
 from neurec_tpu.models import get_model
 from neurec_tpu.trainer import Trainer
-from tests.helpers import make_config, make_synthetic_dataset
+from tests.helpers import (
+    assert_eval_embeddings_parity,
+    make_config,
+    make_synthetic_dataset,
+)
 
 
 class SilentLogger:
@@ -152,6 +156,7 @@ def test_model_smoke(zoo_dataset, name):
     assert preds.shape == (5, dataset.num_items)
     assert np.isfinite(np.asarray(preds)).all()
 
+    assert_eval_embeddings_parity(model, trainer.params)
     result = trainer.evaluate()
     assert len(result.split("\t")) == 10
 

@@ -39,6 +39,39 @@ def test_masked_scores_interpret():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_masked_scores_long_train_rows():
+    """Gowalla-power-user regime: L >= 1024 must neither blow compile nor
+    change results (the old unrolled-compare kernel was O(L) in both)."""
+    rng = np.random.RandomState(2)
+    B, I, d, L = 8, 1500, 16, 1200
+    u = rng.randn(B, d).astype(np.float32)
+    items = rng.randn(I, d).astype(np.float32)
+    rows = np.full((B, L), I, dtype=np.int32)
+    for b in range(B):
+        n = rng.randint(L // 2, L)
+        rows[b, :n] = np.sort(rng.choice(I, size=n, replace=False))
+
+    got = np.asarray(
+        masked_scores(
+            jnp.asarray(u), jnp.asarray(items), jnp.asarray(rows),
+            block_items=512, interpret=True,
+        )
+    )
+    want = _reference(u, items, rows, I)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_build_train_mask_drops_out_of_range():
+    from neurec_tpu.ops.pallas_kernels import build_train_mask
+
+    rows = jnp.asarray([[0, 2, 9, 9], [1, 9, 9, 9]], jnp.int32)
+    mask = np.asarray(build_train_mask(rows, 5))
+    want = np.zeros((2, 5), np.int8)
+    want[0, [0, 2]] = 1
+    want[1, 1] = 1
+    np.testing.assert_array_equal(mask, want)
+
+
 def test_masked_scores_no_mask():
     rng = np.random.RandomState(1)
     B, I, d = 8, 300, 16
@@ -52,3 +85,72 @@ def test_masked_scores_no_mask():
         )
     )
     np.testing.assert_allclose(got, u @ items.T, rtol=1e-5, atol=1e-5)
+
+
+def _mf_setup(tmp_path, mesh=None):
+    from neurec_tpu.data.dataset import Dataset
+    from neurec_tpu.eval.evaluator import Evaluator
+    from neurec_tpu.models import get_model
+    from neurec_tpu.trainer import Trainer
+    from tests.helpers import make_config, make_synthetic_dataset
+
+    make_synthetic_dataset(tmp_path)
+    conf = make_config(
+        tmp_path,
+        recommender="MF",
+        alg_props={
+            "epochs": 1, "batch_size": 128, "embedding_size": 8,
+            "reg_mf": 0.0, "learning_rate": 0.05, "learner": "adam",
+            "num_negatives": 1, "is_pairwise": "True",
+            "loss_function": "bpr", "init_method": "normal",
+            "stddev": 0.1, "verbose": 1,
+        },
+    )
+    dataset = Dataset(conf)
+    model = get_model("MF")(dataset, conf)
+    trainer = Trainer(model, dataset, conf, mesh=mesh, logger=None)
+    trainer.initialize()
+    ev = Evaluator.from_dataset(dataset, conf, mesh=mesh)
+    return model, trainer.params, ev
+
+
+def test_evaluator_pallas_path_matches_xla(tmp_path, monkeypatch):
+    """End-to-end: the evaluator's fused Pallas score+mask path (forced via
+    NEUREC_PALLAS_INTERPRET on the CPU platform) must reproduce the XLA
+    scatter path's result string exactly at %.8f precision."""
+    monkeypatch.delenv("NEUREC_PALLAS_INTERPRET", raising=False)
+    model, params, ev_xla = _mf_setup(tmp_path)
+    want = ev_xla.evaluate(model.predict, params)
+
+    monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
+    _, _, ev_pl = _mf_setup(tmp_path)
+    got = ev_pl.evaluate(model.predict, params)
+    assert got == want
+
+
+def test_evaluator_pallas_path_under_mesh(tmp_path, monkeypatch):
+    """The shard_map-partitioned Pallas path on the 8-device mesh must match
+    the single-device XLA path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from neurec_tpu.parallel.mesh import make_mesh
+
+    model, params, ev_xla = _mf_setup(tmp_path)
+    monkeypatch.delenv("NEUREC_PALLAS_INTERPRET", raising=False)
+    want = ev_xla.evaluate(model.predict, params)
+
+    monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
+    mesh = make_mesh(n_data=4, n_model=2)
+    _, _, ev_pl = _mf_setup(tmp_path, mesh=mesh)
+    got = ev_pl.evaluate(model.predict, params)
+    # cross-device metric summation reorders float adds: numeric, not
+    # string, equality
+    np.testing.assert_allclose(
+        [float(x) for x in got.split("\t")],
+        [float(x) for x in want.split("\t")],
+        rtol=1e-6, atol=1e-7,
+    )
