@@ -121,3 +121,35 @@ def test_sharded_eval_matches_single_device(tmp_path):
     sharded_params = jax.device_put(params, model.param_shardings(mesh))
     r_mesh = ev_mesh.evaluator.evaluate_raw(model.predict, sharded_params)
     np.testing.assert_allclose(r_single, r_mesh, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+@pytest.mark.parametrize(
+    "name", ["LightGCN", "NeuMF", "FPMC", "MultiVAE", "SASRec", "GRU4Rec", "WRMF"]
+)
+def test_every_epoch_family_sharded_matches_single(name):
+    """One model per trainer epoch family (pairwise / pointwise /
+    time_pairwise / dense_row / the custom build_epoch shapes): the same
+    seed on the (4,2) mesh and on a single device must produce numerically
+    close parameters after two epochs."""
+    from __graft_entry__ import _tiny_setup
+
+    results = []
+    for mesh in (None, make_mesh(n_data=4, n_model=2)):
+        dataset, conf, model = _tiny_setup(name)
+        tr = Trainer(model, dataset, conf, mesh=mesh, logger=SilentLogger())
+        tr.initialize()
+        key = jax.random.PRNGKey(7)
+        if tr._epoch_fn is not None:
+            for e in range(2):
+                tr.params, tr.opt_state, _ = tr._epoch_fn(
+                    tr.params, tr.opt_state, jax.random.fold_in(key, e),
+                    jnp.int32(e + 1),
+                )
+        results.append(jax.tree.map(np.asarray, tr.params))
+    single, sharded = results
+    flat_s, _ = jax.tree_util.tree_flatten(single)
+    flat_m, _ = jax.tree_util.tree_flatten(sharded)
+    assert len(flat_s) == len(flat_m)
+    for a, b in zip(flat_s, flat_m):
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
