@@ -31,7 +31,7 @@ class _SilentLogger:
     debug = warning = error = critical = info
 
 
-def bench_model(name, conf_overrides, n_epochs):
+def bench_model(name, n_epochs):
     import jax
 
     from neurec_tpu.config import Config
@@ -39,9 +39,7 @@ def bench_model(name, conf_overrides, n_epochs):
     from neurec_tpu.models import get_model
     from neurec_tpu.trainer import Trainer
 
-    cmd = ["--recommender=%s" % name] + [
-        "--%s=%s" % (k, v) for k, v in conf_overrides.items()
-    ]
+    cmd = ["--recommender=%s" % name]
     conf = Config(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "NeuRec.properties"),
@@ -54,20 +52,30 @@ def bench_model(name, conf_overrides, n_epochs):
     trainer.initialize()
 
     # instances processed per epoch, in the model's natural unit
-    if model.data_kind == "pointwise":
-        per_epoch = dataset.train_matrix.nnz * (1 + model.num_negatives)
+    kind = model.data_kind
+    if kind in ("pointwise", "time_pointwise"):
+        per_epoch = dataset.train_matrix.nnz * (
+            1 + getattr(model, "num_negatives", 1)
+        )
         unit = "examples/s/chip"
-    elif model.data_kind == "pairwise":
+    elif kind in ("pairwise", "time_pairwise"):
         per_epoch = dataset.train_matrix.nnz
         unit = "examples/s/chip"
-    elif model.data_kind == "dense_row":
+    elif kind == "dense_row":
         per_epoch = len(trainer._users_flat)
         unit = "users/s/chip"
-    elif name == "SASRec":
-        per_epoch = int(model._train_users.shape[0])
-        unit = "sequences/s/chip"
+    elif kind == "custom":
+        # sequence models expose their per-epoch instance count; fall back
+        # to one instance per training interaction
+        seqs = getattr(model, "_train_users", None)
+        if seqs is not None:
+            per_epoch = int(seqs.shape[0])
+            unit = "sequences/s/chip"
+        else:
+            per_epoch = dataset.train_matrix.nnz
+            unit = "examples/s/chip"
     else:
-        raise ValueError("no unit defined for %s" % name)
+        raise ValueError("no unit defined for %s (data_kind=%s)" % (name, kind))
 
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
@@ -104,11 +112,8 @@ def main():
     ap.add_argument("--models", default="NeuMF,MultiVAE,SASRec")
     args = ap.parse_args()
 
-    results = []
     for name in args.models.split(","):
-        res = bench_model(name.strip(), {}, args.epochs)
-        results.append(res)
-        print(json.dumps(res), flush=True)
+        print(json.dumps(bench_model(name.strip(), args.epochs)), flush=True)
 
 
 if __name__ == "__main__":

@@ -72,10 +72,31 @@ class UniEvaluator:
         top_k=50,
         batch_size: int = 1024,
         num_items: Optional[int] = None,
-        num_thread: int = 8,  # accepted for API parity; unused on device
+        num_thread: int = 8,  # thread count for the native host backend
         mesh=None,
+        backend: str = "device",
     ):
         self.mesh = mesh
+        self.num_thread = int(num_thread)
+        # runtime backend selection, parity with the reference's cpp->python
+        # import fallback (evaluator/backend/__init__.py:1-6): 'device' is
+        # the jitted on-accelerator pipeline; 'native' ranks score matrices
+        # on the C++ thread-pool host tier (neurec_tpu/native/) — useful on
+        # device-less installs and as a production cross-check.
+        if backend not in ("device", "native"):
+            raise ValueError("eval_backend must be 'device' or 'native', got %r"
+                             % (backend,))
+        if backend == "native":
+            try:
+                from neurec_tpu import native
+
+                native.build()
+                print("NeuRec-TPU eval backend: native (C++ host thread pool)")
+            except Exception as e:  # g++ missing, build failure, ...
+                print("native eval backend unavailable (%s); "
+                      "falling back to device" % e)
+                backend = "device"
+        self.backend = backend
         if metric is None:
             metric = list(METRIC_NAMES)
         elif isinstance(metric, str):
@@ -118,6 +139,7 @@ class UniEvaluator:
         )
         for u, items in user_train_dict.items():
             train_rows[u, : len(items)] = np.sort(items)
+        self._train_rows_np = train_rows
         self._train_rows = jnp.asarray(train_rows)
 
         # test-user-aligned padded truth rows
@@ -304,6 +326,8 @@ class UniEvaluator:
         test_users: Optional[Sequence[int]] = None,
     ) -> np.ndarray:
         """Mean per-user metric matrix, shape (metrics_num, len(top_show))."""
+        if self.backend == "native":
+            return self._evaluate_raw_native(predict_fn, params, test_users)
         full_all, cand_all = self._get_steps(predict_fn)
         if test_users is None:
             users = self.test_users
@@ -330,16 +354,24 @@ class UniEvaluator:
         users_pad = np.zeros(n_pad, dtype=np.int32)
         users_pad[: len(users)] = users
 
-        users_b = jnp.asarray(users_pad.reshape(n_batches, B))
-        sel_b = jnp.asarray(sel.reshape(n_batches, B))
-        valid_b = jnp.asarray(valid.reshape(n_batches, B))
+        users_b = users_pad.reshape(n_batches, B)
+        sel_b = sel.reshape(n_batches, B)
+        valid_b = valid.reshape(n_batches, B)
         if n_data > 1:
+            # multi-host safe: every process holds the full batch blocks and
+            # contributes its local devices' slices (parallel/mesh.py)
             from jax.sharding import NamedSharding, PartitionSpec
 
+            from neurec_tpu.parallel.mesh import global_device_put
+
             bsh = NamedSharding(self.mesh, PartitionSpec(None, "data"))
-            users_b = jax.device_put(users_b, bsh)
-            sel_b = jax.device_put(sel_b, bsh)
-            valid_b = jax.device_put(valid_b, bsh)
+            users_b = global_device_put(users_b, bsh)
+            sel_b = global_device_put(sel_b, bsh)
+            valid_b = global_device_put(valid_b, bsh)
+        else:
+            users_b = jnp.asarray(users_b)
+            sel_b = jnp.asarray(sel_b)
+            valid_b = jnp.asarray(valid_b)
         if self.user_neg_test is not None:
             total, count = cand_all(params, users_b, sel_b, valid_b)
         else:
@@ -350,6 +382,58 @@ class UniEvaluator:
         ).astype(np.float32)  # (5, K)
         k_idx = np.minimum(self.top_show, self.num_items) - 1
         return mean[self._metric_rows][:, k_idx]
+
+    def _evaluate_raw_native(
+        self,
+        predict_fn: PredictFn,
+        params,
+        test_users: Optional[Sequence[int]] = None,
+    ) -> np.ndarray:
+        """Host backend: scores come back from predict_fn, ranking + metric
+        kernels run on the C++ thread pool (native/neurec_native.cpp) — the
+        reference's cpp backend shape (uni_evaluator.py:101-157), selectable
+        at runtime via eval_backend=native."""
+        from neurec_tpu import native
+
+        if test_users is None:
+            users = self.test_users
+        else:
+            users = np.asarray(list(test_users), dtype=np.int32)
+        K = min(self.max_top, self.num_items)
+        B = min(self.batch_size, max(len(users), 1))
+        total = np.zeros((self.metrics_num, K), dtype=np.float64)
+        count = 0
+        for lo in range(0, len(users), B):
+            batch = users[lo : lo + B]
+            scores = np.asarray(
+                predict_fn(params, jnp.asarray(batch)), dtype=np.float32
+            )
+            nb = scores.shape[0]
+            ext = np.concatenate(
+                [scores, np.full((nb, 1), -np.inf, np.float32)], axis=1
+            )
+            if self.user_neg_test is not None:
+                sel = [self._user_pos_index[int(u)] for u in batch]
+                cand = np.asarray(self._cand_rows)[sel]
+                cscores = np.take_along_axis(ext, cand, axis=1)
+                truth = [
+                    list(range(int(n))) for n in np.asarray(self._n_pos)[sel]
+                ]
+                per_user = native.eval_score_matrix(
+                    cscores, truth, self.metrics, K, n_threads=self.num_thread
+                )
+            else:
+                ext[np.arange(nb)[:, None], self._train_rows_np[batch]] = -np.inf
+                truth = [list(self.user_pos_test[int(u)]) for u in batch]
+                per_user = native.eval_score_matrix(
+                    ext[:, : self.num_items], truth, self.metrics, K,
+                    n_threads=self.num_thread,
+                )
+            total += per_user.reshape(nb, self.metrics_num, K).sum(axis=0)
+            count += nb
+        mean = (total / max(count, 1)).astype(np.float32)
+        k_idx = np.minimum(self.top_show, self.num_items) - 1
+        return mean[:, k_idx]
 
     def evaluate(
         self,
@@ -380,6 +464,7 @@ class GroupedEvaluator:
         num_items=None,
         num_thread=8,
         mesh=None,
+        backend="device",
     ):
         if not isinstance(group_view, list):
             raise TypeError("The type of 'group_view' must be `list`!")
@@ -393,6 +478,7 @@ class GroupedEvaluator:
             num_items=num_items,
             num_thread=num_thread,
             mesh=mesh,
+            backend=backend,
         )
         group_list = [0] + group_view
         group_info = [
@@ -443,6 +529,7 @@ class Evaluator:
         num_items=None,
         num_thread=8,
         mesh=None,
+        backend="device",
     ):
         if group_view is not None:
             self.evaluator = GroupedEvaluator(
@@ -456,6 +543,7 @@ class Evaluator:
                 num_items=num_items,
                 num_thread=num_thread,
                 mesh=mesh,
+                backend=backend,
             )
         else:
             self.evaluator = UniEvaluator(
@@ -468,6 +556,7 @@ class Evaluator:
                 num_items=num_items,
                 num_thread=num_thread,
                 mesh=mesh,
+                backend=backend,
             )
 
     @classmethod
@@ -483,6 +572,7 @@ class Evaluator:
             num_items=dataset.num_items,
             num_thread=config.get("num_thread", 8),
             mesh=mesh,
+            backend=config.get("eval_backend", "device"),
         )
 
     def metrics_info(self) -> str:

@@ -55,12 +55,50 @@ class Recommender:
         raise NotImplementedError
 
     def param_shardings(self, mesh):
-        """Optional pytree of NamedSharding matching init_params' structure.
+        """Pytree of NamedSharding matching ``init_params``' structure.
 
-        Return None (default) to replicate everything. Embedding-table models
-        override this to row-shard their tables over the 'model' mesh axis.
+        Default: tensor parallelism is opt-OUT. Every parameter leaf with
+        ndim >= 2 whose leading dimension is an id-vocabulary size
+        (num_users / num_items, their +1 padded-row variants, or the
+        num_users+num_items stacked-graph size) is row-sharded over the
+        'model' mesh axis — XLA turns lookups into ID-partitioned gather
+        exchanges and full-catalog scoring into a column-sharded matmul.
+        Everything else (dense towers, biases) replicates.
+
+        JAX requires evenly divisible explicit shardings, so a vocab table
+        whose leading dim does not divide the 'model' axis size falls back
+        to replicated for that leaf. Models with bespoke layouts override.
+        Returns None (leave placement to XLA) if the parameter shapes
+        cannot be inferred without data (e.g. shapes depending on host
+        preprocessing that resists abstract evaluation).
         """
-        return None
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        try:
+            shapes = jax.eval_shape(self.init_params, jax.random.PRNGKey(0))
+        except Exception:
+            return None
+        n_model = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+        vocab = {
+            self.num_users,
+            self.num_items,
+            self.num_users + 1,
+            self.num_items + 1,
+            self.num_users + self.num_items,
+        }
+
+        def spec(leaf):
+            if (
+                getattr(leaf, "ndim", 0) >= 2
+                and leaf.shape[0] in vocab
+                and n_model > 1
+                and leaf.shape[0] % n_model == 0
+            ):
+                return NamedSharding(mesh, P("model", *([None] * (leaf.ndim - 1))))
+            return NamedSharding(mesh, P())
+
+        return jax.tree.map(spec, shapes)
 
     # models whose full-catalog scores factor as ``u_vecs @ item_table.T``
     # define ``eval_embeddings(params, users) -> (u_vecs, item_table)`` so the

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from neurec_tpu.models.base import Recommender, register
 from neurec_tpu.ops.initializers import get_initializer
@@ -54,12 +53,6 @@ class APR(Recommender):
         return {
             "embedding_P": init(ku, (self.num_users, self.embedding_size)),
             "embedding_Q": init(ki, (self.num_items, self.embedding_size)),
-        }
-
-    def param_shardings(self, mesh):
-        return {
-            "embedding_P": NamedSharding(mesh, P("model", None)),
-            "embedding_Q": NamedSharding(mesh, P("model", None)),
         }
 
     def _bpr(self, P, Q, users, pos, neg, weights):

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from neurec_tpu.models.base import Recommender, register
 from neurec_tpu.ops.graph import build_norm_adjacency, spmm
@@ -45,12 +44,6 @@ class LightGCN(Recommender):
         return {
             "user_emb": xavier(ku, (self.num_users, self.emb_dim)),
             "item_emb": xavier(ki, (self.num_items, self.emb_dim)),
-        }
-
-    def param_shardings(self, mesh):
-        return {
-            "user_emb": NamedSharding(mesh, P("model", None)),
-            "item_emb": NamedSharding(mesh, P("model", None)),
         }
 
     def propagate(self, params):

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from neurec_tpu.models.base import Recommender, register
 from neurec_tpu.ops.initializers import get_initializer
@@ -38,12 +37,6 @@ class MF(Recommender):
         return {
             "user_emb": init(ku, (self.num_users, self.embedding_size)),
             "item_emb": init(ki, (self.num_items, self.embedding_size)),
-        }
-
-    def param_shardings(self, mesh):
-        return {
-            "user_emb": NamedSharding(mesh, P("model", None)),
-            "item_emb": NamedSharding(mesh, P("model", None)),
         }
 
     def _score(self, params, users, items):

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from neurec_tpu.models.base import Recommender, register
 from neurec_tpu.ops.graph import SparseAdj, build_norm_adjacency, spmm
@@ -88,16 +87,6 @@ class NGCF(Recommender):
             params["user_emb"] = jnp.asarray(loaded[0][0])
             params["item_emb"] = jnp.asarray(loaded[0][1])
         return params
-
-    def param_shardings(self, mesh):
-        rep = NamedSharding(mesh, P())
-        sh = {
-            "user_emb": NamedSharding(mesh, P("model", None)),
-            "item_emb": NamedSharding(mesh, P("model", None)),
-        }
-        for k in ("W_gc", "b_gc", "W_bi", "b_bi", "W_mlp", "b_mlp"):
-            sh[k] = [rep] * self.n_layers
-        return sh
 
     def _adj_for_step(self, rng, training) -> SparseAdj:
         if training and self.node_dropout_flag and rng is not None:

@@ -58,12 +58,30 @@ def col_sharded(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     return NamedSharding(mesh, P(*((None,) * (ndim - 1) + ("model",))))
 
 
+def global_device_put(x, sharding: NamedSharding):
+    """Place host data onto a (possibly multi-host) sharding.
+
+    Single-process: plain ``device_put``. Multi-process: ``device_put``
+    cannot target non-addressable devices, so the global array is assembled
+    from each process's addressable shards via ``make_array_from_callback``.
+    This relies on the framework's multi-host data model: every process
+    holds the full host value (datasets, batch index blocks, and seeded
+    parameter initializations are process-replicated by construction), and
+    each process contributes only the slices its local devices own.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_params(params, shardings):
     """Place a param pytree onto the mesh.
 
     ``shardings`` is either None (leave placement unchanged) or a pytree of
-    NamedSharding matching ``params``' structure exactly.
+    NamedSharding matching ``params``' structure exactly. Works under
+    multi-host meshes (see ``global_device_put``).
     """
     if shardings is None:
         return params
-    return jax.device_put(params, shardings)
+    return jax.tree.map(global_device_put, params, shardings)

@@ -136,3 +136,49 @@ def test_int_topk_means_range():
     scores_dev = jnp.asarray(scores)
     got = ev.evaluate_raw(lambda p, u: scores_dev[u], None)
     assert got.shape == (1, 10)  # K from 1..10
+
+
+def test_native_backend_matches_device():
+    """Runtime backend selection (eval_backend=native): the C++ host tier
+    must agree with the jitted device pipeline on both protocols (parity
+    with the reference's cpp backend, evaluator/backend/__init__.py:1-6)."""
+    import pytest
+
+    from neurec_tpu import native
+
+    try:
+        native.build()
+    except Exception as e:  # pragma: no cover - g++ missing
+        pytest.skip("native tier unavailable: %s" % e)
+
+    train_dict, test_dict, scores = _random_setup(5)
+    num_items = scores.shape[1]
+    metrics = ["Precision", "Recall", "MAP", "NDCG", "MRR"]
+    scores_dev = jnp.asarray(scores)
+    predict = lambda p, u: scores_dev[u]
+
+    kw = dict(metric=metrics, top_k=[5, 10, 20], batch_size=16,
+              num_items=num_items)
+    dev = UniEvaluator(train_dict, test_dict, **kw)
+    nat = UniEvaluator(train_dict, test_dict, backend="native", **kw)
+    assert nat.backend == "native"
+    np.testing.assert_allclose(
+        nat.evaluate_raw(predict, None), dev.evaluate_raw(predict, None),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # sampled-candidates protocol
+    rng = np.random.RandomState(6)
+    neg_dict = {}
+    for u in test_dict:
+        excl = set(train_dict[u]) | set(test_dict[u])
+        cand = [i for i in range(num_items) if i not in excl]
+        neg_dict[u] = rng.choice(cand, size=25, replace=False).tolist()
+    dev = UniEvaluator(train_dict, test_dict, user_neg_test=neg_dict, **kw)
+    nat = UniEvaluator(
+        train_dict, test_dict, user_neg_test=neg_dict, backend="native", **kw
+    )
+    np.testing.assert_allclose(
+        nat.evaluate_raw(predict, None), dev.evaluate_raw(predict, None),
+        rtol=1e-5, atol=1e-6,
+    )

@@ -146,10 +146,17 @@ def test_every_epoch_family_sharded_matches_single(name):
                     tr.params, tr.opt_state, jax.random.fold_in(key, e),
                     jnp.int32(e + 1),
                 )
-        results.append(jax.tree.map(np.asarray, tr.params))
-    single, sharded = results
+        users = jnp.arange(min(8, model.num_users), dtype=jnp.int32)
+        scores = np.asarray(model.predict(tr.params, users))
+        results.append((jax.tree.map(np.asarray, tr.params), scores))
+    (single, s_scores), (sharded, m_scores) = results
+    # primary check: trained model behavior (full-catalog scores) matches
+    np.testing.assert_allclose(s_scores, m_scores, rtol=2e-3, atol=1e-4)
     flat_s, _ = jax.tree_util.tree_flatten(single)
     flat_m, _ = jax.tree_util.tree_flatten(sharded)
     assert len(flat_s) == len(flat_m)
+    # param check is looser: output-null directions (e.g. SASRec's key bias,
+    # which cancels in softmax) carry ~0 true gradient, so Adam amplifies
+    # sharded-vs-single float reassociation noise into O(lr)-sized drift
     for a, b in zip(flat_s, flat_m):
-        np.testing.assert_allclose(a, b, rtol=5e-3, atol=1e-4)
+        np.testing.assert_allclose(a, b, rtol=5e-3, atol=5e-3)
