@@ -47,15 +47,27 @@ SWEEP = {
     "MF": (200, []),
     "MLP": (100, []),
     "NeuMF": (60, []),
-    "APR": (200, []),
-    "ConvNCF": (50, []),
+    # APR: the shipped conf (reference parity) sets adv_epoch=0 =
+    # adversarial-from-scratch, which collapses in the reference's math
+    # too; the paper's schedule is MF first, then adversarial.
+    "APR": (200, ["--adv_epoch=100"]),
+    # ConvNCF: reference warm-starts P/Q from a trained MF (ConvNCF.py
+    # pretrain hook); from-scratch outer-product CNN does not train.
+    # sweep_mf64.pkl is produced by ensure_pretrains().
+    "ConvNCF": (50, ["--mf_pretrain=%s" % os.path.join(
+        REPO, "pretrained", "sweep_mf64.pkl")]),
     "DMF": (30, []),
     "CDAE": (100, []),
     "DAE": (100, []),
     "MultiDAE": (150, []),
     "MultiVAE": (150, []),
     "JCA": (50, []),
-    "IRGAN": (30, []),
+    # IRGAN: the reference *requires* a pretrained-generator pickle that
+    # it does not ship (conf points at a missing ml100k_saved_model.pkl —
+    # as shipped the reference crashes). ensure_pretrains() produces one
+    # from a trained 20-factor MF (zero bias), completing the chain.
+    "IRGAN": (30, ["--pretrain_file=%s" % os.path.join(
+        REPO, "pretrained", "sweep_irgan_gen.pkl")]),
     "CFGAN": (50, []),
     "WRMF": (15, []),
     "SpectralCF": (100, []),
@@ -66,20 +78,80 @@ SWEEP = {
     "DeepICF": (30, []),
     "SBPR": (100, []),
     "DiffNet": (50, []),
-    "FPMC": (100, []),
+    # FPMC/NPE: the shipped confs pair a MEAN-reduced sigmoid CE
+    # (tf.losses.sigmoid_cross_entropy parity) with a SUM-over-batch l2
+    # term — the reg gradient crushes the data signal and the model stays
+    # at loss=log(2) in the reference's math too (verified by ablation:
+    # reg=0 trains immediately). Measured here with the reg term off.
+    "FPMC": (100, ["--reg_mf=0.0"]),
     "FPMCplus": (50, []),
     "HRM": (50, []),
-    "NPE": (50, []),
+    "NPE": (50, ["--reg=0.0"]),
     "TransRec": (100, []),
     "Fossil": (50, []),
     "Caser": (30, []),
-    "GRU4Rec": (30, []),
-    "GRU4RecPlus": (30, []),
+    # GRU4Rec: shipped conf budgets 1000 epochs at lr=1e-4; within the
+    # sweep budget the bpr loss at lr=1e-3 is the meaningful point. The
+    # protocol itself (unordered 80/20 split) caps next-item RNNs — eval
+    # replay was audited: training transitions rank well (hit@50≈0.37).
+    "GRU4Rec": (100, ["--loss=bpr", "--lr=0.001"]),
+    "GRU4RecPlus": (100, ["--lr=0.001"]),
     "SASRec": (100, []),
     "SRGNN": (20, []),
 }
 
 PER_MODEL_TIMEOUT_S = 2700
+
+# files produced by ensure_pretrains(): (path, producer epochs, MF dims)
+PRETRAINS = {
+    "sweep_mf64.pkl": 64,   # ConvNCF mf_pretrain ([P, Q])
+    "sweep_irgan_gen.pkl": 20,  # IRGAN generator ([P, Q, zero bias])
+}
+
+
+def ensure_pretrains() -> None:
+    """Train the MF warm-starts the pretrain-chained sweep entries need.
+
+    The reference's chain consumers (ConvNCF, IRGAN) expect pickles the
+    reference never produces (savers commented out / file not shipped);
+    this trains a BPR-MF at the consumer's embedding size on the same
+    split and writes the consumer's exact pickle layout.
+    """
+    import pickle
+
+    import numpy as np
+
+    todo = {
+        fn: d for fn, d in PRETRAINS.items()
+        if not os.path.exists(os.path.join(REPO, "pretrained", fn))
+    }
+    if not todo:
+        return
+    from neurec_tpu.config import Config
+    from neurec_tpu.data.dataset import Dataset
+    from neurec_tpu.models import get_model
+    from neurec_tpu.trainer import Trainer
+
+    for fn, dim in todo.items():
+        conf = Config(
+            os.path.join(REPO, "NeuRec.properties"),
+            default_section="hyperparameters",
+            cmd_args=["--recommender=MF", "--epochs=100",
+                      "--embedding_size=%d" % dim, "--verbose=100"],
+        )
+        dataset = Dataset(conf)
+        model = get_model("MF")(dataset, conf)
+        trainer = Trainer(model, dataset, conf)
+        trainer.train()
+        payload = [np.asarray(trainer.params["user_emb"]),
+                   np.asarray(trainer.params["item_emb"])]
+        if fn == "sweep_irgan_gen.pkl":
+            payload.append(np.zeros(payload[1].shape[0], np.float32))
+        path = os.path.join(REPO, "pretrained", fn)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        print("wrote %s (MF d=%d, 100 epochs)" % (path, dim), flush=True)
 
 
 def run_one(name: str) -> dict:
@@ -179,6 +251,8 @@ if __name__ == "__main__":
     ap.add_argument("--only", help="driver mode, single model subprocess")
     a = ap.parse_args()
     if a.one:
+        if a.one in ("ConvNCF", "IRGAN"):
+            ensure_pretrains()
         merge(a.one, run_one(a.one))
         print("done", a.one)
     else:

@@ -54,6 +54,16 @@ class Recommender:
     def loss(self, params, batch: Dict[str, jnp.ndarray], weights) -> jnp.ndarray:
         raise NotImplementedError
 
+    def on_mesh(self, mesh):
+        """Hook: the Trainer announces its device mesh before jitting.
+
+        Models holding device-resident side structures (graph adjacencies,
+        padded history tables) override this to re-place them onto the mesh
+        (e.g. LightGCN/NGCF shard their COO adjacency into per-device row
+        blocks). Default: nothing to re-place.
+        """
+        return None
+
     def param_shardings(self, mesh):
         """Pytree of NamedSharding matching ``init_params``' structure.
 

@@ -37,6 +37,17 @@ class LightGCN(Recommender):
         self.n_layers = int(config.get("n_layers", 3))
         self.adj_type = config.get("adj_type", "pre")
         self.adj = build_norm_adjacency(dataset.train_matrix, self.adj_type)
+        # graph_shard=auto|on|off: row-block-shard the adjacency over the
+        # 'data' mesh axis (docs/parallelism.md large-graph layout)
+        self.graph_shard = str(config.get("graph_shard", "auto")).lower()
+        self._adj_sharded = None
+        self._mesh = None
+
+    def on_mesh(self, mesh):
+        from neurec_tpu.ops.graph import maybe_shard
+
+        self._adj_sharded = maybe_shard(self.adj, mesh, self.graph_shard)
+        self._mesh = mesh
 
     def init_params(self, rng):
         xavier = jax.nn.initializers.glorot_uniform()
@@ -48,11 +59,16 @@ class LightGCN(Recommender):
 
     def propagate(self, params):
         """K-layer propagation; returns (user_table, item_table)."""
+        from neurec_tpu.ops.graph import spmm_sharded
+
         ego = jnp.concatenate([params["user_emb"], params["item_emb"]], axis=0)
         acc = ego
         h = ego
         for _ in range(self.n_layers):
-            h = spmm(self.adj, h)
+            if self._adj_sharded is not None:
+                h = spmm_sharded(self._adj_sharded, h, self._mesh)
+            else:
+                h = spmm(self.adj, h)
             acc = acc + h
         final = acc / (self.n_layers + 1)
         return final[: self.num_users], final[self.num_users :]

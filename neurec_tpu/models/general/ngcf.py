@@ -62,6 +62,15 @@ class NGCF(Recommender):
         # NGCF's 'norm' includes self loops before normalization; map through
         # the shared builder (same math as NGCF.py:298-317)
         self.adj = build_norm_adjacency(dataset.train_matrix, self.adj_type)
+        self.graph_shard = str(config.get("graph_shard", "auto")).lower()
+        self._adj_sharded = None
+        self._mesh = None
+
+    def on_mesh(self, mesh):
+        from neurec_tpu.ops.graph import maybe_shard
+
+        self._adj_sharded = maybe_shard(self.adj, mesh, self.graph_shard)
+        self._mesh = mesh
 
     def init_params(self, rng):
         e_init = get_initializer(self.embed_init_method, self.stddev)
@@ -88,19 +97,21 @@ class NGCF(Recommender):
             params["item_emb"] = jnp.asarray(loaded[0][1])
         return params
 
-    def _adj_for_step(self, rng, training) -> SparseAdj:
+    def _adj_for_step(self, rng, training):
+        """Per-step adjacency (SparseAdj or ShardedAdj) with edge dropout."""
+        adj = self._adj_sharded if self._adj_sharded is not None else self.adj
         if training and self.node_dropout_flag and rng is not None:
             keep = 1.0 - self.node_dropout_ratio
-            if self.adj.dense is not None:
+            if isinstance(adj, SparseAdj) and adj.dense is not None:
                 # edge dropout on the dense path: zero entries stay zero, so
                 # an elementwise Bernoulli mask == per-edge dropout
-                mask = jax.random.bernoulli(rng, keep, self.adj.dense.shape)
-                dense = jnp.where(mask, self.adj.dense / keep, 0.0)
-                return self.adj._replace(dense=dense)
-            mask = jax.random.bernoulli(rng, keep, self.adj.vals.shape)
-            vals = jnp.where(mask, self.adj.vals / keep, 0.0)
-            return self.adj._replace(vals=vals)
-        return self.adj
+                mask = jax.random.bernoulli(rng, keep, adj.dense.shape)
+                dense = jnp.where(mask, adj.dense / keep, 0.0)
+                return adj._replace(dense=dense)
+            mask = jax.random.bernoulli(rng, keep, adj.vals.shape)
+            vals = jnp.where(mask, adj.vals / keep, 0.0)
+            return adj._replace(vals=vals)
+        return adj
 
     def _mess_dropout(self, x, rng, training):
         if not training or rng is None or self.mess_dropout_ratio <= 0:
@@ -118,7 +129,12 @@ class NGCF(Recommender):
         h = ego
         for k in range(self.n_layers):
             krng = None if rng is None else jax.random.fold_in(rng, k + 1)
-            side = spmm(adj, h)
+            if isinstance(adj, SparseAdj):
+                side = spmm(adj, h)
+            else:
+                from neurec_tpu.ops.graph import spmm_sharded
+
+                side = spmm_sharded(adj, h, self._mesh)
             if self.alg_type == "ngcf":
                 sum_emb = jax.nn.leaky_relu(side @ params["W_gc"][k] + params["b_gc"][k])
                 bi = jax.nn.leaky_relu(

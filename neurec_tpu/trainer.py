@@ -293,6 +293,7 @@ class Trainer:
             self.params = shard_params(
                 self.params, self.model.param_shardings(self.mesh)
             )
+            self.model.on_mesh(self.mesh)
         if hasattr(self.model, "init_opt_state"):
             self.opt_state = self.model.init_opt_state(self.params)
         else:
