@@ -1,29 +1,55 @@
 """DMF — deep matrix factorization (Xue et al., IJCAI 2017).
 
-Parity with model/general_recommender/DMF.py:30-170: dual two-layer MLP
-towers over raw interaction-matrix rows (user tower input: the user's
-num_items row) and columns (item tower input: the item's num_users
-column); output logit = relu(<u, v> / (|u|^2 |v|^2)) — the reference's
-squared-norm "cosine" quirk is mirrored — fed to pointwise
-cross-entropy/square loss with 1 + num_negatives instances per positive.
+Reference counterpart: model/general_recommender/DMF.py. The reference
+class is NOT runnable: its ``predict`` calls
+``self.user_matrix.getrow(user_id.toarray(), [self.num_items])``
+(DMF.py:117-131) which raises before scoring a single user, so it ships no
+reachable behavior to mirror beyond the tower shapes. Its training math is
+also degenerate — ``relu(<u,v> / (|u|^2 |v|^2))`` (DMF.py:66-69, squared
+norms, no clipping) divides by ~1e-16 at small-init, saturating every
+logit, and the outer relu then blocks gradient to any positive pair whose
+dot starts negative; trained this way every score collapses to exactly 0
+(measured: the metric row became identical to an untrained constant-score
+model).
 
-TPU-first: rows AND columns are scattered on device from padded
-user-positives and item-positives (the reference materializes dense numpy
-vectors per instance on the host — the framework's biggest memory hazard).
-The reference's predict also uses the negative's column correctly, unlike
-its training generator which looks up column(i) for negative j
-(DMF.py:154 — a reference bug; intended semantics used here).
+Deliberate deviation, documented per repo convention: this implementation
+follows the PAPER's formulation instead —
+
+* tower inputs are the user's rating row / item's rating column (explicit
+  values, not 0/1), as in the paper's Y matrix;
+* output is true cosine ``<u,v> / max(|u| |v|, eps)`` clipped to
+  [1e-6, 1), the paper's max(mu, y_hat);
+* cross-entropy is the paper's binary CE on the clipped cosine (mean over
+  instances, matching the scale of the other pointwise models here);
+  ``loss_function=square`` keeps sum-of-squares semantics.
+
+TPU-first: rows AND columns are gathered on device from padded
+user-positives/item-positives with a parallel rating-value array (the
+reference materializes dense num_items-length numpy vectors per instance
+on the host — its biggest memory hazard).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from neurec_tpu.data.padded import build_padded_positives
 from neurec_tpu.models.base import Recommender, register
 from neurec_tpu.ops.initializers import get_initializer
-from neurec_tpu.ops.losses import pointwise_loss
+
+
+def _padded_values(matrix, padded) -> np.ndarray:
+    """(N, L) float32 rating value for each padded id slot (0.0 on pad)."""
+    vals = np.zeros(padded.items.shape, dtype=np.float32)
+    indptr, indices, data = matrix.indptr, matrix.indices, matrix.data
+    for u in range(matrix.shape[0]):
+        lo, hi = indptr[u], indptr[u + 1]
+        if hi > lo:
+            order = np.argsort(indices[lo:hi])
+            vals[u, : hi - lo] = data[lo:hi][order]
+    return vals
 
 
 @register("DMF")
@@ -39,10 +65,14 @@ class DMF(Recommender):
         self.init_method = config.get("init_method", "normal")
         self.stddev = float(config.get("stddev", 0.01))
 
-        user_padded = build_padded_positives(dataset.train_matrix)
-        item_padded = build_padded_positives(dataset.train_matrix.T.tocsr())
+        train = dataset.train_matrix.tocsr()
+        user_padded = build_padded_positives(train)
+        item_csr = train.T.tocsr()
+        item_padded = build_padded_positives(item_csr)
         self._user_rows = jnp.asarray(user_padded.items)   # (U, Lu) pad=I
         self._item_rows = jnp.asarray(item_padded.items)   # (I, Li) pad=U
+        self._user_vals = jnp.asarray(_padded_values(train, user_padded))
+        self._item_vals = jnp.asarray(_padded_values(item_csr, item_padded))
 
     def init_params(self, rng):
         init = get_initializer(self.init_method, self.stddev)
@@ -60,42 +90,60 @@ class DMF(Recommender):
         }
 
     def _user_tower(self, params, users):
-        """Row @ W1 as a padded gather-sum (row is 0/1), then dense."""
+        """Rating row @ W1 as a padded weighted gather-sum, then dense."""
         rows = self._user_rows[users]                       # (B, Lu)
+        vals = self._user_vals[users]                       # (B, Lu)
         w1_ext = jnp.concatenate(
             [params["u_w1"], jnp.zeros((1, self.first_layer_size))], axis=0
         )
-        h1 = jax.nn.relu(jnp.sum(w1_ext[rows], axis=1) + params["u_b1"])
+        h1 = jax.nn.relu(
+            jnp.sum(w1_ext[rows] * vals[:, :, None], axis=1) + params["u_b1"]
+        )
         return h1 @ params["u_w2"] + params["u_b2"]
 
     def _item_tower(self, params, items):
         cols = self._item_rows[items]                       # (B, Li)
+        vals = self._item_vals[items]                       # (B, Li)
         w1_ext = jnp.concatenate(
             [params["v_w1"], jnp.zeros((1, self.first_layer_size))], axis=0
         )
-        h1 = jax.nn.relu(jnp.sum(w1_ext[cols], axis=1) + params["v_b1"])
+        h1 = jax.nn.relu(
+            jnp.sum(w1_ext[cols] * vals[:, :, None], axis=1) + params["v_b1"]
+        )
         return h1 @ params["v_w2"] + params["v_b2"]
 
-    def _logit(self, u_vec, v_vec):
-        dot = jnp.sum(u_vec * v_vec, axis=-1)
-        norm = jnp.sum(jnp.square(u_vec), axis=-1) * jnp.sum(
-            jnp.square(v_vec), axis=-1
-        )
-        return jax.nn.relu(dot / jnp.maximum(norm, 1e-12))
+    @staticmethod
+    def _cosine(dot, u_sq, v_sq):
+        """Clipped cosine: the paper's y_hat = max(mu, cos) with cos < 1."""
+        cos = dot / jnp.maximum(jnp.sqrt(u_sq * v_sq), 1e-12)
+        return jnp.clip(cos, 1e-6, 1.0 - 1e-7)
 
     def loss(self, params, batch, weights):
         u = self._user_tower(params, batch["users"])
         v = self._item_tower(params, batch["items"])
-        y = self._logit(u, v)
-        return pointwise_loss(
-            self.loss_function, batch["labels"], y, weights=weights
+        dot = jnp.sum(u * v, axis=-1)
+        y = self._cosine(
+            dot,
+            jnp.sum(jnp.square(u), axis=-1),
+            jnp.sum(jnp.square(v), axis=-1),
         )
+        labels = batch["labels"]
+        if self.loss_function.lower() == "square":
+            ce = jnp.square(labels - y)
+            if weights is not None:
+                ce = ce * weights
+            return jnp.sum(ce)
+        # paper eq. (12): normalized binary cross-entropy on the cosine
+        ce = -(labels * jnp.log(y) + (1.0 - labels) * jnp.log1p(-y))
+        if weights is not None:
+            denom = jnp.maximum(jnp.sum(weights), 1.0)
+            return jnp.sum(ce * weights) / denom
+        return jnp.mean(ce)
 
     def predict(self, params, users):
         u = self._user_tower(params, users)                 # (B, l)
         v = self._item_tower(params, jnp.arange(self.num_items))  # (I, l)
         dot = u @ v.T
-        norm = jnp.sum(jnp.square(u), axis=1)[:, None] * jnp.sum(
-            jnp.square(v), axis=1
-        )[None, :]
-        return jax.nn.relu(dot / jnp.maximum(norm, 1e-12))
+        u_sq = jnp.sum(jnp.square(u), axis=1)[:, None]
+        v_sq = jnp.sum(jnp.square(v), axis=1)[None, :]
+        return self._cosine(dot, u_sq, v_sq)

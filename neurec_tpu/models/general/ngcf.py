@@ -110,7 +110,10 @@ class NGCF(Recommender):
                 return adj._replace(dense=dense)
             mask = jax.random.bernoulli(rng, keep, adj.vals.shape)
             vals = jnp.where(mask, adj.vals / keep, 0.0)
-            return adj._replace(vals=vals)
+            # the Pallas scatter plans bake the edge values at build time;
+            # per-step dropped vals would desync them, so dropout steps run
+            # the segment-sum path (eval/no-dropout keeps the kernel)
+            return adj._replace(vals=vals, plan=None, plan_t=None)
         return adj
 
     def _mess_dropout(self, x, rng, training):

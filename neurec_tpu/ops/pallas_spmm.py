@@ -1,0 +1,216 @@
+"""Pallas TPU kernel for the large-graph SpMM scatter (COO segment-sum).
+
+Replaces ``jax.ops.segment_sum`` in ``ops/graph.py::spmm`` — the hot op of
+LightGCN/NGCF propagation at gowalla scale and the reference pain point the
+graph models exist to kill (reference: NGCF.py:320-332 100-fold host SpMM,
+LightGCN.py:132-149 ``sparse_tensor_dense_matmul``). Measured on the
+north-star graph (68,404 nodes, 348k edges, d=64) the XLA scatter-add costs
+4.0 ms/call and dominates the 31 ms LightGCN train step
+(benchmarks/spmm_micro.py).
+
+TPU design — scatters don't vectorize, matmuls do:
+
+* Host-side, once: edges are partitioned by destination-row tile
+  (``tile_r`` rows per tile), each tile's edge list is padded to a multiple
+  of ``chunk`` (zero ``vals`` padding) and, inside a tile, sorted by source
+  column so the XLA gather that feeds the kernel walks HBM near-
+  sequentially instead of randomly (the gather is the other half of the
+  cost: 1.9 ms measured for the random order).
+* The kernel runs one grid step per chunk. It builds a one-hot-times-vals
+  selector S (tile_r, chunk) in registers — ``S[r, e] = vals[e] if
+  rows[e] == r`` — and accumulates ``S @ gathered_chunk`` into the output
+  tile on the MXU. The chunk→tile map is scalar-prefetched and drives the
+  output BlockSpec: consecutive chunks of one tile revisit the same VMEM
+  output block (zeroed on each tile's first chunk), so each output row is
+  written to HBM exactly once.
+* Backward: d(A @ x) = A^T @ g is the same kernel over a transposed plan
+  (rows/cols swapped, re-sorted) built alongside the forward plan.
+
+FLOP cost is 2 * E * tile_r * d — independent of ``chunk`` — so tiles stay
+small (256); ``chunk`` only trades padding waste against grid overhead.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class SpmmPlan(NamedTuple):
+    """Chunked-COO scatter plan (host-built, one-time).
+
+    ``n_chunks = rows.shape[0]``; every tile owns >= 1 chunk (all-padding
+    if empty) so every output block gets zeroed exactly once.
+
+    The arrays are deliberately HOST numpy, not device arrays: models
+    close over the plan inside jitted losses, and jax embeds closure
+    constants into the lowered module by materializing them on the host —
+    for a device array that is a device->host fetch of the whole plan
+    through the (slow, tunneled) transfer path on every fresh lowering
+    (measured: minutes for a 12 MB plan). Numpy constants lower directly.
+    """
+
+    rows: np.ndarray        # (n_chunks, chunk) int32 — dest row MINUS tile start
+    cols: np.ndarray        # (n_chunks, chunk) int32 — global source node id
+    vals: np.ndarray        # (n_chunks, chunk) float32 — 0.0 on padding
+    chunk_tile: np.ndarray  # (n_chunks,) int32 — non-decreasing out-tile index
+    chunk_first: np.ndarray  # (n_chunks,) int32 — 1 iff first chunk of its tile
+    n_rows: int              # logical output rows (<= n_tiles * tile_r)
+    tile_r: int
+
+
+def build_spmm_plan(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n_rows: int,
+    tile_r: int = 256,
+    chunk: int = 256,
+) -> SpmmPlan:
+    """Partition COO edges into per-row-tile chunk lists (numpy, host)."""
+    keep = vals != 0.0
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    tile = rows // tile_r
+    # sort by (dest tile, source col): tile-grouped for the scatter,
+    # col-ascending within a tile for gather locality
+    order = np.lexsort((cols, tile))
+    rows, cols, vals, tile = rows[order], cols[order], vals[order], tile[order]
+
+    n_tiles = -(-n_rows // tile_r)
+    counts = np.bincount(tile, minlength=n_tiles)
+    chunks_per_tile = np.maximum(-(-counts // chunk), 1)
+    n_chunks = int(chunks_per_tile.sum())
+
+    r = np.zeros((n_chunks, chunk), dtype=np.int32)
+    c = np.zeros((n_chunks, chunk), dtype=np.int32)
+    v = np.zeros((n_chunks, chunk), dtype=np.float32)
+    chunk_tile = np.zeros(n_chunks, dtype=np.int32)
+    chunk_first = np.zeros(n_chunks, dtype=np.int32)
+
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    ci = 0
+    for t in range(n_tiles):
+        lo, hi = int(starts[t]), int(starts[t + 1])
+        chunk_first[ci] = 1
+        for s in range(lo, hi, chunk) or [lo]:  # >=1 chunk even when empty
+            k = min(chunk, hi - s)
+            if k > 0:
+                r[ci, :k] = rows[s : s + k] - t * tile_r
+                c[ci, :k] = cols[s : s + k]
+                v[ci, :k] = vals[s : s + k]
+            chunk_tile[ci] = t
+            ci += 1
+        if lo == hi:  # empty tile: the padding chunk emitted above
+            chunk_tile[ci - 1] = t
+    assert ci == n_chunks
+
+    return SpmmPlan(
+        rows=r,
+        cols=c,
+        vals=v,
+        chunk_tile=chunk_tile,
+        chunk_first=chunk_first,
+        n_rows=n_rows,
+        tile_r=tile_r,
+    )
+
+
+def _scatter_kernel(tile_ref, first_ref, rows_ref, vals_ref, g_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tile_r = out_ref.shape[0]
+    chunk = rows_ref.shape[1]
+    # rows/vals stay whole in VMEM (Mosaic forbids sublane-1 blocks); a
+    # dynamic sublane slice picks this grid step's chunk
+    rows = rows_ref[pl.ds(i, 1), :]                           # (1, chunk)
+    vals = vals_ref[pl.ds(i, 1), :]
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
+    sel = jnp.where(rows == r_iota, vals, 0.0)                # (tile_r, chunk)
+    out_ref[:] += jnp.dot(sel, g_ref[:], preferred_element_type=jnp.float32)
+
+
+def plan_scatter(
+    plan: SpmmPlan, gathered: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """(n_rows, d) <- segment-sum of ``gathered`` (n_chunks*chunk, d) rows.
+
+    ``gathered[i*chunk + e]`` lands on output row
+    ``chunk_tile[i]*tile_r + rows[i, e]`` scaled by ``vals[i, e]``.
+    Plain traceable fn — callers jit it (no nested pjit, see CLAUDE.md).
+    """
+    n_chunks, chunk = plan.rows.shape
+    d = gathered.shape[1]
+    n_tiles = -(-plan.n_rows // plan.tile_r)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rows, whole-array resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # vals, whole-array resident
+            pl.BlockSpec((chunk, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (plan.tile_r, d),
+            lambda i, tile_map, first_map: (tile_map[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        _scatter_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * plan.tile_r, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_chunks * chunk * plan.tile_r * d,
+            bytes_accessed=(
+                gathered.size * 4 + plan.rows.size * 8 + n_tiles * plan.tile_r * d * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(plan.chunk_tile, plan.chunk_first, plan.rows, plan.vals, gathered)
+    return out[: plan.n_rows]
+
+
+def plan_spmm(
+    plan: SpmmPlan, x: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """A @ x for the plan's (n_rows, n_src) sparse A; gather in XLA,
+    scatter in the Pallas kernel. Not differentiable on its own — models go
+    through :func:`make_spmm` which wires the transposed-plan VJP."""
+    g = x[plan.cols.reshape(-1)]
+    return plan_scatter(plan, g, interpret=interpret)
+
+
+def make_spmm(plan: SpmmPlan, plan_t: SpmmPlan, interpret: bool = False):
+    """Differentiable x -> A @ x with d/dx = A^T @ g via the transposed plan.
+
+    The plans are closure constants (same lifecycle as SparseAdj's arrays in
+    models' jitted losses). Adjacency values are not trained anywhere in the
+    zoo, so only x carries a tangent.
+    """
+
+    @jax.custom_vjp
+    def f(x):
+        return plan_spmm(plan, x, interpret=interpret)
+
+    def fwd(x):
+        return f(x), None
+
+    def bwd(_, gout):
+        return (plan_spmm(plan_t, gout, interpret=interpret),)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -1,0 +1,134 @@
+"""Pallas SpMM scatter-plan kernel vs dense/numpy oracle (interpret mode).
+
+Covers ops/pallas_spmm.py: plan construction invariants, forward numerics,
+the transposed-plan VJP, empty tiles and non-tile-multiple row counts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neurec_tpu.ops.pallas_spmm import (
+    SpmmPlan,
+    build_spmm_plan,
+    make_spmm,
+    plan_spmm,
+)
+
+
+def _random_coo(rng, n_rows, n_src, nnz):
+    rows = rng.integers(0, n_rows, nnz).astype(np.int32)
+    cols = rng.integers(0, n_src, nnz).astype(np.int32)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    return rows, cols, vals
+
+
+def _dense_ref(rows, cols, vals, n_rows, n_src, x):
+    out = np.zeros((n_rows, x.shape[1]), np.float32)
+    np.add.at(out, rows, vals[:, None] * x[cols])
+    return out
+
+
+def test_plan_invariants():
+    rng = np.random.default_rng(0)
+    n_rows, n_src = 1000, 700
+    rows, cols, vals = _random_coo(rng, n_rows, n_src, 4000)
+    vals[:50] = 0.0  # build-padding edges must be dropped
+    plan = build_spmm_plan(rows, cols, vals, n_rows, tile_r=256, chunk=128)
+
+    ct = np.asarray(plan.chunk_tile)
+    cf = np.asarray(plan.chunk_first)
+    assert (np.diff(ct) >= 0).all(), "chunk->tile map must be non-decreasing"
+    # every tile owns >= 1 chunk and exactly one first-chunk flag
+    n_tiles = -(-n_rows // plan.tile_r)
+    assert set(ct.tolist()) == set(range(n_tiles))
+    for t in range(n_tiles):
+        sel = ct == t
+        assert cf[sel].sum() == 1 and cf[sel][0] == 1
+    # within-tile rows stay inside the tile
+    r = np.asarray(plan.rows)
+    v = np.asarray(plan.vals)
+    assert (r[v != 0] >= 0).all() and (r[v != 0] < plan.tile_r).all()
+    # zero-value build padding dropped
+    assert (v != 0).sum() == (vals != 0).sum()
+
+
+def test_forward_matches_numpy():
+    rng = np.random.default_rng(1)
+    n_rows, n_src, d = 997, 773, 32  # deliberately non-multiples
+    rows, cols, vals = _random_coo(rng, n_rows, n_src, 6000)
+    x = rng.standard_normal((n_src, d)).astype(np.float32)
+    plan = build_spmm_plan(rows, cols, vals, n_rows, tile_r=128, chunk=128)
+    out = np.asarray(plan_spmm(plan, jnp.asarray(x), interpret=True))
+    ref = _dense_ref(rows, cols, vals, n_rows, n_src, x)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_empty_tiles_zeroed():
+    rng = np.random.default_rng(2)
+    n_rows, n_src, d = 512, 100, 8
+    # all edges land in tile 0; tiles 1..3 are empty and must come out 0
+    rows = rng.integers(0, 100, 300).astype(np.int32)
+    cols = rng.integers(0, n_src, 300).astype(np.int32)
+    vals = rng.standard_normal(300).astype(np.float32)
+    x = rng.standard_normal((n_src, d)).astype(np.float32)
+    plan = build_spmm_plan(rows, cols, vals, n_rows, tile_r=128, chunk=64)
+    out = np.asarray(plan_spmm(plan, jnp.asarray(x), interpret=True))
+    ref = _dense_ref(rows, cols, vals, n_rows, n_src, x)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+    assert np.all(out[128:] == 0.0)
+
+
+def test_vjp_via_transpose_plan():
+    rng = np.random.default_rng(3)
+    n_rows, n_src, d = 600, 450, 16
+    rows, cols, vals = _random_coo(rng, n_rows, n_src, 3000)
+    x = rng.standard_normal((n_src, d)).astype(np.float32)
+    plan = build_spmm_plan(rows, cols, vals, n_rows, tile_r=128, chunk=128)
+    plan_t = build_spmm_plan(cols, rows, vals, n_src, tile_r=128, chunk=128)
+    f = make_spmm(plan, plan_t, interpret=True)
+
+    g = jax.grad(lambda x: jnp.sum(jnp.sin(f(x))))(jnp.asarray(x))
+    fwd = _dense_ref(rows, cols, vals, n_rows, n_src, x)
+    gout = np.cos(fwd)
+    ref = np.zeros((n_src, d), np.float32)  # A^T @ gout
+    np.add.at(ref, cols, vals[:, None] * gout[rows])
+    np.testing.assert_allclose(np.asarray(g), ref, atol=5e-4)
+
+
+def test_jit_with_plan_closure():
+    """The plan must be usable as a jit closure constant (model pattern)."""
+    rng = np.random.default_rng(4)
+    n_rows, n_src, d = 300, 300, 8
+    rows, cols, vals = _random_coo(rng, n_rows, n_src, 1500)
+    x = rng.standard_normal((n_src, d)).astype(np.float32)
+    plan = build_spmm_plan(rows, cols, vals, n_rows)
+    plan_t = build_spmm_plan(cols, rows, vals, n_src)
+    f = make_spmm(plan, plan_t, interpret=True)
+    fj = jax.jit(lambda x: jnp.sum(f(x) ** 2))
+    v1 = float(fj(jnp.asarray(x)))
+    ref = _dense_ref(rows, cols, vals, n_rows, n_src, x)
+    assert abs(v1 - float((ref**2).sum())) / max(abs(v1), 1.0) < 1e-3
+
+
+def test_grad_under_jit():
+    """jit(grad(loss-with-spmm)) — the exact LightGCN train-step pattern."""
+    rng = np.random.default_rng(5)
+    n_rows = n_src = 400
+    rows, cols, vals = _random_coo(rng, n_rows, n_src, 2000)
+    x = rng.standard_normal((n_src, 8)).astype(np.float32)
+    plan = build_spmm_plan(rows, cols, vals, n_rows)
+    plan_t = build_spmm_plan(cols, rows, vals, n_src)
+    f = make_spmm(plan, plan_t, interpret=True)
+
+    def loss(x):
+        h = f(f(x))  # two propagation layers
+        return jnp.sum(h * h)
+
+    g = jax.jit(jax.grad(loss))(jnp.asarray(x))
+    # analytic reference: grad = 2 A^T A^T A A x on the dense matrix
+    A = np.zeros((n_rows, n_src), np.float64)
+    np.add.at(A, (rows, cols), vals)
+    ref = 2.0 * A.T @ (A.T @ (A @ (A @ x.astype(np.float64))))
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=2e-3, atol=2e-2)
