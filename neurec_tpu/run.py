@@ -39,6 +39,23 @@ def main(properties: str = "NeuRec.properties", cmd_args=None):
     logger = run_logger(conf, dataset.dataset_name)
     logger.info(str(dataset))
     trainer = Trainer(model, dataset, conf, mesh=mesh, logger=logger)
+
+    # --ckpt_dir=<dir> [--ckpt_every=N]: periodic orbax checkpoints with
+    # auto-resume — re-running the same command after a crash/preemption
+    # continues from the last saved epoch (elastic across mesh shapes: the
+    # restore lands on the current run's shardings, see checkpoint.py).
+    ckpt_dir = conf.get("ckpt_dir", None) or None
+    if ckpt_dir:
+        from neurec_tpu.checkpoint import attach_to_trainer
+
+        start = attach_to_trainer(
+            trainer, str(ckpt_dir), every=int(conf.get("ckpt_every", 1))
+        )
+        logger.info(
+            "checkpointing to %s every %d epoch(s); starting at epoch %d"
+            % (ckpt_dir, trainer._ckpt_every, start)
+        )
+
     result = trainer.train()
     return trainer, result
 
