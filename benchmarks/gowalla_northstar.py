@@ -97,12 +97,13 @@ def main():
     setup_s = time.perf_counter() - t0
     per_epoch = int(dataset.train_matrix.nnz)
     n_eval_users = len(trainer.evaluator.evaluator.test_users)
-    print(json.dumps({
+    meta = {
         "dataset": "gowalla (217,242 UI; 80/20 per-user ratio split)",
         "num_users": dataset.num_users, "num_items": dataset.num_items,
         "train_nnz": per_epoch, "eval_users": n_eval_users,
         "setup_s": round(setup_s, 1),
-    }), flush=True)
+    }
+    print(json.dumps(meta), flush=True)
 
     key = jax.random.PRNGKey(2018)
     history = []
@@ -140,16 +141,17 @@ def main():
             history.append(point)
             print(json.dumps(point), flush=True)
             with open(OUT, "w") as f:
-                json.dump({"compile_s": compile_s, "history": history}, f,
-                          indent=1)
+                json.dump({"meta": meta, "compile_s": compile_s,
+                           "history": history}, f, indent=1)
             if reached is None and ndcg20 >= args.target_ndcg20:
                 reached = {"epochs_to_target": epoch,
                            "target_ndcg20": args.target_ndcg20,
                            "train_wall_s_excl_compile": round(train_s, 1)}
                 print(json.dumps(reached), flush=True)
     with open(OUT, "w") as f:
-        json.dump({"compile_s": compile_s, "history": history,
-                   "reached": reached}, f, indent=1)
+        json.dump({"meta": meta, "compile_s": compile_s,
+                   "history": history, "reached": reached}, f, indent=1)
+        f.write("\n")
 
 
 if __name__ == "__main__":

@@ -203,6 +203,7 @@ def merge(name: str, rec: dict) -> None:
     data[name] = rec
     with open(OUT, "w") as f:
         json.dump(data, f, indent=1)
+        f.write("\n")
 
 
 def drive(only=None) -> int:

@@ -1,0 +1,152 @@
+"""Sequential-model quality under the time-ordered leave-one-out protocol.
+
+The default sweep protocol (per-user 80/20 ratio split, by_time=False)
+structurally caps next-item recommenders: the RNN is trained to predict the
+*next* event but evaluated against a random 20% holdout scattered through
+the user's history. This script runs the sequential flagships under
+``splitter=loo, by_time=True`` — each user's most recent item held out,
+exactly the protocol the GRU4Rec/SASRec papers evaluate — so the
+GRU4Rec-family math is measurable (VERDICT r2 weak #2; reference behaviors:
+model/sequential_recommender/GRU4Rec.py:85-101, GRU4RecPlus.py:91-121,
+SASRec.py:386-387).
+
+Under loo, Recall@K == HR@K (one ground-truth item per user).
+
+  python benchmarks/seq_loo_quality.py            # all models
+  python benchmarks/seq_loo_quality.py --one GRU4Rec
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "benchmarks", "seq_loo_quality.json")
+
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# model -> (epochs, extra CLI overrides) — same override rationales as
+# quality_sweep.py (GRU4Rec: bpr/1e-3 is the meaningful point within the
+# budget; the shipped conf budgets 1000 epochs at lr=1e-4)
+MODELS = {
+    "GRU4Rec": (100, ["--loss=bpr", "--lr=0.001"]),
+    "GRU4RecPlus": (100, ["--lr=0.001"]),
+    "SASRec": (100, []),
+    "FPMC": (100, ["--reg_mf=0.0"]),
+    "NPE": (50, ["--reg=0.0"]),
+}
+
+LOO_ARGS = ["--splitter=loo", "--by_time=True"]
+PER_MODEL_TIMEOUT_S = 2700
+
+
+def run_one(name: str) -> dict:
+    import random
+
+    import numpy as np
+
+    from neurec_tpu.config import Config
+    from neurec_tpu.data.dataset import Dataset
+    from neurec_tpu.models import get_model
+    from neurec_tpu.trainer import Trainer
+
+    np.random.seed(2018)
+    random.seed(2018)
+
+    epochs, extra = MODELS[name]
+    cmd_args = [
+        "--recommender=%s" % name,
+        "--epochs=%d" % epochs,
+        "--verbose=%d" % max(epochs, 1),
+    ] + LOO_ARGS + list(extra)
+    conf = Config(
+        os.path.join(REPO, "NeuRec.properties"),
+        default_section="hyperparameters",
+        cmd_args=cmd_args,
+    )
+    dataset = Dataset(conf)
+    model = get_model(name)(dataset, conf)
+    trainer = Trainer(model, dataset, conf)
+
+    t0 = time.time()
+    trainer.train()
+    train_s = time.time() - t0
+
+    header = trainer.evaluator.metrics_info()
+    values = trainer.evaluate()
+    names = header.split("metrics:\t", 1)[1].split("\t")
+    rec = {
+        "epochs": epochs,
+        "protocol": "loo by_time (last item per user held out)",
+        "overrides": extra,
+        "train_time_s": round(train_s, 1),
+    }
+    for k, v in zip(names, values.split("\t")):
+        rec[k.strip()] = round(float(v), 5)
+    return rec
+
+
+def merge(name: str, rec: dict) -> None:
+    data = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            data = json.load(f)
+    data[name] = rec
+    with open(OUT, "w") as f:
+        json.dump(data, f, indent=1)
+        f.write("\n")
+
+
+def drive(only=None) -> int:
+    done = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            done = json.load(f)
+    targets = [only] if only else list(MODELS)
+    failures = []
+    for name in targets:
+        if name in done and "error" not in done[name]:
+            print("skip %s (done)" % name, flush=True)
+            continue
+        print("=== %s (loo by_time) ===" % name, flush=True)
+        t0 = time.time()
+        try:
+            env = dict(os.environ)
+            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                cwd=REPO,
+                env=env,
+                timeout=PER_MODEL_TIMEOUT_S,
+                capture_output=True,
+                text=True,
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(proc.stdout[-2000:] + proc.stderr[-2000:])
+        except Exception as e:  # noqa: BLE001 - record and continue
+            print("FAILED %s: %s" % (name, str(e)[:500]), flush=True)
+            merge(name, {"error": str(e)[-1000:]})
+            failures.append(name)
+            continue
+        print("ok %s (%.0fs total)" % (name, time.time() - t0), flush=True)
+    if failures:
+        print("failures:", failures, flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--one", help="run a single model in-process and merge")
+    ap.add_argument("--only", help="driver mode, single model subprocess")
+    a = ap.parse_args()
+    if a.one:
+        merge(a.one, run_one(a.one))
+        print("done", a.one)
+    else:
+        sys.exit(drive(a.only))

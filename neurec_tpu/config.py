@@ -142,6 +142,18 @@ class Config:
     def get(self, key: str, default=None):
         return self[key] if key in self else default
 
+    def get_raw(self, key: str, default=None):
+        """Uncoerced string lookup, same lib->alg->cmd priority as ``[]``.
+
+        For filesystem paths: ``_coerce`` runs ``eval()``, so a purely
+        numeric path like ``--ckpt_dir=2024-06`` would silently become the
+        integer 2018 (ADVICE r2).
+        """
+        for source in (self.lib_arg, self.alg_arg, self.cmd_arg):
+            if key in source:
+                return source[key]
+        return default
+
     def params_str(self) -> str:
         """Filesystem-safe run id built from hyperparameters."""
         params_id = "_".join(

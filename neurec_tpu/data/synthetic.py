@@ -100,5 +100,8 @@ class DictConfig:
     def get(self, key, default=None):
         return self._values.get(key, default)
 
+    def get_raw(self, key, default=None):
+        return self._values.get(key, default)
+
     def params_str(self):
         return str(self._values.get("recommender", "model"))

@@ -123,7 +123,8 @@ class CFGAN(Recommender):
         def d_step(carry, xs):
             params, opt = carry
             idx, key = xs
-            cond = self._make_cond_rows(idx)
+            idx = trainer.dp_constrain(idx)
+            cond = trainer.dp_constrain(self._make_cond_rows(idx))
             pm = self._sample_mask(key, cond, self.ZP_ratio)
 
             def d_loss_fn(dis):
@@ -140,8 +141,9 @@ class CFGAN(Recommender):
         def g_step(carry, xs):
             params, opt = carry
             idx, key = xs
+            idx = trainer.dp_constrain(idx)
             k_zr, k_pm = jax.random.split(key)
-            cond = self._make_cond_rows(idx)
+            cond = trainer.dp_constrain(self._make_cond_rows(idx))
             zr = self._sample_mask(k_zr, cond, self.ZR_ratio) - cond  # negatives only
             pm = self._sample_mask(k_pm, cond, self.ZP_ratio)
 

@@ -33,6 +33,11 @@ from neurec_tpu.pretrain import try_load
 class IRGAN(Recommender):
     data_kind = "custom"
 
+    @staticmethod
+    def _dp(*arrays):
+        """Identity until build_epoch installs trainer.dp_constrain."""
+        return arrays if len(arrays) != 1 else arrays[0]
+
     def __init__(self, dataset, config):
         super().__init__(dataset, config)
         self.factors_num = int(config.get("factors_num", 20))
@@ -120,10 +125,13 @@ class IRGAN(Recommender):
         idx = jnp.where(perm < N, perm, 0)
 
         def step(dis, batch_idx):
-            u = flat_users[batch_idx]
-            i = flat_items[batch_idx]
-            lbl = flat_labels[batch_idx]
-            w = flat_w[batch_idx]
+            batch_idx = self._dp(batch_idx)
+            u, i, lbl, w = self._dp(
+                flat_users[batch_idx],
+                flat_items[batch_idx],
+                flat_labels[batch_idx],
+                flat_w[batch_idx],
+            )
 
             def loss_fn(d):
                 logits = (
@@ -204,6 +212,8 @@ class IRGAN(Recommender):
         return dict(params, gen=gen), jnp.mean(losses)
 
     def build_epoch(self, trainer):
+        self._dp = trainer.dp_constrain
+
         def epoch(params, opt_state, key, epoch_idx):
             del epoch_idx
             loss = 0.0

@@ -103,6 +103,7 @@ class JCA(Recommender):
         def step(carry, xs):
             params, opt_state = carry
             row_idx, row_w, col_idx, col_w, key = xs
+            row_idx, row_w = trainer.dp_constrain(row_idx, row_w)
 
             def loss_fn(p):
                 dec, r_sub = self._sub_decoder(p, row_idx, col_idx)

@@ -73,8 +73,14 @@ class WRMF(Recommender):
     def build_epoch(self, trainer):
         def epoch(params, opt_state, key, epoch_idx):
             del key, epoch_idx
-            user_emb = self._solve_side(params["item_emb"], self._user_rows)
-            item_emb = self._solve_side(user_emb, self._item_rows)
+            # DP over the vmapped per-row solves (rows constrained to
+            # P('data') when the counts divide the axis)
+            user_emb = self._solve_side(
+                params["item_emb"], trainer.dp_constrain(self._user_rows)
+            )
+            item_emb = self._solve_side(
+                user_emb, trainer.dp_constrain(self._item_rows)
+            )
             params = {"user_emb": user_emb, "item_emb": item_emb}
             # squared preference-reconstruction error on positives as "loss"
             rows = self._user_rows

@@ -161,12 +161,17 @@ class Caser(Recommender):
         def step(carry, xs):
             params, opt_state = carry
             idx, w, key = xs
+            idx, w = trainer.dp_constrain(idx, w)
             k_neg, k_drop = jax.random.split(key)
-            users = self._users[idx]
+            users = trainer.dp_constrain(self._users[idx])
             seqs = self._seqs[idx]
             pos = self._poss[idx]
             rows = padded_items[users]
-            negs = sample_negatives(k_neg, rows, self.num_items, (self.neg_samples,))
+            negs = trainer.dp_constrain(
+                sample_negatives(
+                    k_neg, rows, self.num_items, (self.neg_samples,)
+                )
+            )
 
             loss, grads = jax.value_and_grad(
                 lambda p: self.caser_loss(p, users, seqs, pos, negs, w, k_drop)

@@ -217,6 +217,9 @@ class GRU4Rec(Recommender):
             def step(carry, xs):
                 params, opt_state, states = carry
                 in_i, out_i, reset, valid, key = xs
+                in_i, out_i, reset, valid = trainer.dp_constrain(
+                    in_i, out_i, reset, valid
+                )
                 # reset finished streams' state
                 states = [s * (1.0 - reset[:, None]) for s in states]
                 extra = model._extra_negatives(key)

@@ -177,12 +177,14 @@ class SASRec(Recommender):
         def step(carry, xs):
             params, opt_state = carry
             idx, w, key = xs
+            idx, w = trainer.dp_constrain(idx, w)
             k_neg, k_drop = jax.random.split(key)
             users = users_all[idx]
-            seq = seq_all[idx]
-            pos = pos_all[idx]
+            seq, pos = trainer.dp_constrain(seq_all[idx], pos_all[idx])
             rows = padded_items[users]
-            negs = sample_negatives(k_neg, rows, num_items, (self.max_len,))
+            negs = trainer.dp_constrain(
+                sample_negatives(k_neg, rows, num_items, (self.max_len,))
+            )
 
             def loss_fn(p):
                 return self.seq_loss(p, seq, pos, negs, w, k_drop)

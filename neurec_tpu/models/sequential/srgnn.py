@@ -210,7 +210,8 @@ class SRGNN(Recommender):
         def step(carry, xs):
             params, opt_state = carry
             idx, = xs
-            seq = self._seq[idx]
+            idx = trainer.dp_constrain(idx)
+            seq = trainer.dp_constrain(self._seq[idx])
             sess_len = self._seq_len[idx]
             tar = self._tar[idx]
 

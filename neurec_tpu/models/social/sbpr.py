@@ -113,8 +113,9 @@ class SBPR(Recommender):
         def step(carry, xs):
             params, opt_state = carry
             idx, w, key = xs
+            idx, w = trainer.dp_constrain(idx, w)
             k_soc, k_neg = jax.random.split(key)
-            users = self._users_flat[idx]
+            users = trainer.dp_constrain(self._users_flat[idx])
             pos = self._pos_flat[idx]
             s_idx = jax.random.randint(k_soc, (B,), 0, 2 ** 30) % (
                 self._social_len[users]

@@ -138,18 +138,28 @@ def _scatter_kernel(tile_ref, first_ref, rows_ref, vals_ref, g_ref, out_ref):
     out_ref[:] += jnp.dot(sel, g_ref[:], preferred_element_type=jnp.float32)
 
 
-def plan_scatter(
-    plan: SpmmPlan, gathered: jnp.ndarray, interpret: bool = False
+def scatter_arrays(
+    chunk_tile,
+    chunk_first,
+    rows,
+    vals,
+    gathered: jnp.ndarray,
+    n_rows: int,
+    tile_r: int,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """(n_rows, d) <- segment-sum of ``gathered`` (n_chunks*chunk, d) rows.
 
     ``gathered[i*chunk + e]`` lands on output row
     ``chunk_tile[i]*tile_r + rows[i, e]`` scaled by ``vals[i, e]``.
+    The plan operands may be host numpy (closure constants) OR traced
+    arrays — the latter is how the sharded path feeds per-device plan
+    shards inside ``shard_map`` (ops/graph.py::spmm_sharded).
     Plain traceable fn — callers jit it (no nested pjit, see CLAUDE.md).
     """
-    n_chunks, chunk = plan.rows.shape
+    n_chunks, chunk = rows.shape
     d = gathered.shape[1]
-    n_tiles = -(-plan.n_rows // plan.tile_r)
+    n_tiles = -(-n_rows // tile_r)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -160,7 +170,7 @@ def plan_scatter(
             pl.BlockSpec((chunk, d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (plan.tile_r, d),
+            (tile_r, d),
             lambda i, tile_map, first_map: (tile_map[i], 0),
             memory_space=pltpu.VMEM,
         ),
@@ -168,20 +178,70 @@ def plan_scatter(
     out = pl.pallas_call(
         _scatter_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * plan.tile_r, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles * tile_r, d), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_chunks * chunk * plan.tile_r * d,
+            flops=2 * n_chunks * chunk * tile_r * d,
             bytes_accessed=(
-                gathered.size * 4 + plan.rows.size * 8 + n_tiles * plan.tile_r * d * 4
+                gathered.size * 4 + rows.size * 8 + n_tiles * tile_r * d * 4
             ),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(plan.chunk_tile, plan.chunk_first, plan.rows, plan.vals, gathered)
-    return out[: plan.n_rows]
+    )(chunk_tile, chunk_first, rows, vals, gathered)
+    return out[:n_rows]
+
+
+def plan_scatter(
+    plan: SpmmPlan, gathered: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """`scatter_arrays` over a host-built SpmmPlan (closure-constant path)."""
+    return scatter_arrays(
+        plan.chunk_tile,
+        plan.chunk_first,
+        plan.rows,
+        plan.vals,
+        gathered,
+        plan.n_rows,
+        plan.tile_r,
+        interpret=interpret,
+    )
+
+
+def stack_plans(plans):
+    """Pad per-block SpmmPlans to a common chunk count and stack them.
+
+    All plans must share ``tile_r`` and ``n_rows`` (each device block has
+    the same logical output length). Padding chunks map to the LAST tile
+    (keeps ``chunk_tile`` non-decreasing — the output block was already
+    zeroed by its real first chunk) with ``chunk_first=0`` and zero vals,
+    so they accumulate nothing.
+
+    Returns numpy ``(rows, cols, vals, tile, first)`` with a leading
+    n_blocks dim — ready to be placed ``P('data', ...)`` for ``shard_map``.
+    """
+    tile_r = plans[0].tile_r
+    n_rows = plans[0].n_rows
+    assert all(p.tile_r == tile_r and p.n_rows == n_rows for p in plans)
+    chunk = plans[0].rows.shape[1]
+    n_max = max(p.rows.shape[0] for p in plans)
+    n_tiles = -(-n_rows // tile_r)
+    B = len(plans)
+    rows = np.zeros((B, n_max, chunk), dtype=np.int32)
+    cols = np.zeros((B, n_max, chunk), dtype=np.int32)
+    vals = np.zeros((B, n_max, chunk), dtype=np.float32)
+    tile = np.full((B, n_max), n_tiles - 1, dtype=np.int32)
+    first = np.zeros((B, n_max), dtype=np.int32)
+    for b, p in enumerate(plans):
+        k = p.rows.shape[0]
+        rows[b, :k] = p.rows
+        cols[b, :k] = p.cols
+        vals[b, :k] = p.vals
+        tile[b, :k] = p.chunk_tile
+        first[b, :k] = p.chunk_first
+    return rows, cols, vals, tile, first
 
 
 def plan_spmm(

@@ -44,7 +44,7 @@ def main(properties: str = "NeuRec.properties", cmd_args=None):
     # auto-resume — re-running the same command after a crash/preemption
     # continues from the last saved epoch (elastic across mesh shapes: the
     # restore lands on the current run's shardings, see checkpoint.py).
-    ckpt_dir = conf.get("ckpt_dir", None) or None
+    ckpt_dir = conf.get_raw("ckpt_dir", None) or None
     if ckpt_dir:
         from neurec_tpu.checkpoint import attach_to_trainer
 
@@ -56,7 +56,13 @@ def main(properties: str = "NeuRec.properties", cmd_args=None):
             % (ckpt_dir, trainer._ckpt_every, start)
         )
 
-    result = trainer.train()
+    try:
+        result = trainer.train()
+    finally:
+        # release orbax background resources in long-lived processes
+        ckpt = getattr(trainer, "_ckpt", None)
+        if ckpt is not None:
+            ckpt.close()
     return trainer, result
 
 

@@ -114,7 +114,8 @@ class Trainer:
         self.logger = logger or run_logger(config, dataset.dataset_name)
         # --trace_dir=<dir> captures a jax.profiler device trace of the run
         # (TensorBoard/Perfetto); the reference's only tracing is @timer.
-        self.trace_dir = config.get("trace_dir", None) or None
+        get_raw = getattr(config, "get_raw", config.get)
+        self.trace_dir = get_raw("trace_dir", None) or None
         self.evaluator = Evaluator.from_dataset(dataset, config, mesh=mesh)
         if hasattr(model, "make_optimizer"):
             self.tx = model.make_optimizer()
@@ -151,6 +152,39 @@ class Trainer:
         self._epoch_fn = None
         self.params = None
         self.opt_state = None
+
+    # -- data parallelism ---------------------------------------------------
+    def dp_constrain(self, *arrays):
+        """Pin per-step batch tensors to ``P('data')`` under a mesh.
+
+        The reference is single-device (SURVEY §2.6 — main.py:17-18 selects
+        one GPU); here every jitted epoch explicitly constrains its batch
+        leading dim over the 'data' mesh axis so data parallelism is
+        *guaranteed* rather than left to GSPMD propagation (which may
+        replicate dense-tower compute per chip). No-op without a mesh, and
+        for tensors whose leading dim does not divide the axis (the
+        constraint would be rejected by XLA).
+
+        Custom ``build_epoch`` implementations call this on their batch
+        arrays; the built-in sampled/dense_row builders do it automatically.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out = []
+        n_data = self.mesh.shape["data"] if self.mesh is not None else 1
+        for x in arrays:
+            if (
+                n_data > 1
+                and hasattr(x, "ndim")
+                and x.ndim >= 1
+                and x.shape[0] % n_data == 0
+            ):
+                spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+                x = jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, spec)
+                )
+            out.append(x)
+        return tuple(out) if len(out) != 1 else out[0]
 
     # -- epoch builders -----------------------------------------------------
     def _build_epoch_fn(self):
@@ -192,25 +226,33 @@ class Trainer:
             def step(carry, xs):
                 params, opt_state = carry
                 inst, w, key = xs
+                inst, w = self.dp_constrain(inst, w)
                 k_neg, k_model = jax.random.split(key)
                 base = inst % N if not pairwise else inst
-                users = users_flat[base]
-                pos = pos_flat[base]
-                rows = padded_items[users]
+                users, pos = self.dp_constrain(
+                    users_flat[base], pos_flat[base]
+                )
+                rows = self.dp_constrain(padded_items[users])
                 if pairwise:
-                    negs = sample_negatives(k_neg, rows, num_items, ())
+                    negs = self.dp_constrain(
+                        sample_negatives(k_neg, rows, num_items, ())
+                    )
                     batch = {"users": users, "pos_items": pos,
                              "neg_items": negs, "rng": k_model,
                              "epoch": epoch_idx}
                 else:
                     is_pos = inst < N
                     negs = sample_negatives(k_neg, rows, num_items, ())
-                    items = jnp.where(is_pos, pos, negs)
-                    labels = is_pos.astype(jnp.float32)
+                    items, labels = self.dp_constrain(
+                        jnp.where(is_pos, pos, negs),
+                        is_pos.astype(jnp.float32),
+                    )
                     batch = {"users": users, "items": items, "labels": labels,
                              "rng": k_model, "epoch": epoch_idx}
                 if time_order:
-                    batch["recent_items"] = recent_flat[base]
+                    batch["recent_items"] = self.dp_constrain(
+                        recent_flat[base]
+                    )
 
                 def loss_fn(p):
                     return model.loss(p, batch, w)
@@ -253,10 +295,11 @@ class Trainer:
         def step(carry, xs):
             params, opt_state, gstep = carry
             idx, w, key = xs
-            users = users_all[idx]
+            idx, w = self.dp_constrain(idx, w)
+            users = self.dp_constrain(users_all[idx])
             batch = {
                 "users": users,
-                "rows": make_rows(users),
+                "rows": self.dp_constrain(make_rows(users)),
                 "rng": key,
                 "step": gstep,
             }
@@ -352,6 +395,14 @@ class Trainer:
             ckpt = getattr(self, "_ckpt", None)
             if ckpt is not None and epoch % self._ckpt_every == 0:
                 ckpt.save(epoch, self.params, self.opt_state)
+        if start_epoch > model.epochs:
+            # resumed a finished run: still report metrics (ADVICE r2)
+            self.logger.info(
+                "checkpoint already at final epoch %d; evaluating"
+                % model.epochs
+            )
+            result = self.evaluate()
+            self.logger.info("result:\t%s" % result)
         return result
 
     def evaluate(self) -> str:
