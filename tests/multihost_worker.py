@@ -1,8 +1,17 @@
 """Worker process for the 2-process multi-host test (tests/test_multihost.py).
 
 Each process addresses 4 virtual CPU devices; the global mesh spans all 8.
-Runs MF end-to-end — sharded init, two jitted epochs, full on-device eval —
-and prints the resulting metric matrix as JSON for the parent to compare.
+jax.distributed can only initialize once per process, so ONE worker pair
+covers every requested model (argv[3] is a JSON spec file listing
+``{"name", "workdir", "epochs", "grouped"}`` entries — one per epoch-builder
+category: pairwise MF, dense_row MultiVAE, custom SASRec). For each model it
+runs sharded init, jitted epochs and the full on-device eval, printing
+
+    RESULT<rank>:<name> <raw metric matrix as JSON>
+    GROUPED<rank>:<name> <grouped-evaluator result string as JSON>   (opt.)
+
+for the parent to compare across ranks and against the single-process
+oracle.
 """
 
 import json
@@ -13,7 +22,7 @@ import sys
 def main():
     rank = int(sys.argv[1])
     port = sys.argv[2]
-    workdir = sys.argv[3]
+    spec_path = sys.argv[3]
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
@@ -47,21 +56,41 @@ def main():
 
         debug = warning = error = critical = info
 
-    conf = Config(os.path.join(workdir, "NeuRec.properties"), cmd_args=[])
-    dataset = Dataset(conf)
-    model = get_model("MF")(dataset, conf)
+    with open(spec_path) as f:
+        spec = json.load(f)
+
     mesh = make_mesh(n_data=4, n_model=2)
-    trainer = Trainer(model, dataset, conf, mesh=mesh, logger=SilentLogger())
-    trainer.initialize()
-    key = jax.random.PRNGKey(11)
-    for e in range(2):
-        trainer.params, trainer.opt_state, loss = trainer._epoch_fn(
-            trainer.params, trainer.opt_state, jax.random.fold_in(key, e),
-            jnp.int32(e + 1),
-        )
-        assert np.isfinite(float(loss))
-    raw = trainer.evaluator.evaluator.evaluate_raw(model.predict, trainer.params)
-    print("RESULT%d %s" % (rank, json.dumps(np.asarray(raw).tolist())), flush=True)
+    for entry in spec:
+        name, workdir = entry["name"], entry["workdir"]
+        conf = Config(os.path.join(workdir, "NeuRec.properties"), cmd_args=[])
+        dataset = Dataset(conf)
+        model = get_model(name)(dataset, conf)
+        trainer = Trainer(model, dataset, conf, mesh=mesh,
+                          logger=SilentLogger())
+        trainer.initialize()
+        key = jax.random.PRNGKey(11)
+        for e in range(entry["epochs"]):
+            trainer.params, trainer.opt_state, loss = trainer._epoch_fn(
+                trainer.params, trainer.opt_state, jax.random.fold_in(key, e),
+                jnp.int32(e + 1),
+            )
+            assert np.isfinite(float(loss))
+        if entry.get("grouped"):
+            # group_view configs dispatch to GroupedEvaluator (string API)
+            grouped = trainer.evaluator.evaluate(model.predict, trainer.params)
+            print(
+                "GROUPED%d:%s %s" % (rank, name, json.dumps(grouped)),
+                flush=True,
+            )
+        else:
+            raw = trainer.evaluator.evaluator.evaluate_raw(
+                model.predict, trainer.params
+            )
+            print(
+                "RESULT%d:%s %s"
+                % (rank, name, json.dumps(np.asarray(raw).tolist())),
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
