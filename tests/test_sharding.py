@@ -167,6 +167,44 @@ def test_every_epoch_family_sharded_matches_single(name):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_item_sharded_eval_matches_single_device(tmp_path, monkeypatch):
+    """Big-catalog path (VERDICT r2 weak #7): item table P('model'), local
+    Pallas score+mask per block, all-gather + merge top-K. The merge is
+    exact, so metrics must match the unsharded evaluator to float
+    tolerance. Forced on via NEUREC_EVAL_ITEM_SHARD for the 128-item test
+    catalog (auto only engages at >= 100k items)."""
+    monkeypatch.setenv("NEUREC_EVAL_ITEM_SHARD", "1")
+    monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
+    make_synthetic_dataset(tmp_path, num_users=60, num_items=80)
+    conf = make_config(
+        tmp_path,
+        recommender="MF",
+        alg_props={
+            "epochs": 1, "batch_size": 128, "embedding_size": 8,
+            "reg_mf": 0.0, "learning_rate": 0.05, "learner": "adam",
+            "num_negatives": 1, "is_pairwise": "True",
+            "loss_function": "bpr", "init_method": "normal",
+            "stddev": 0.01, "verbose": 1,
+        },
+    )
+    dataset = Dataset(conf)
+    model = get_model("MF")(dataset, conf)
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    from neurec_tpu.eval.evaluator import Evaluator
+
+    ev_mesh = Evaluator.from_dataset(dataset, conf, mesh=mesh)
+    sharded_params = jax.device_put(params, model.param_shardings(mesh))
+    r_mesh = ev_mesh.evaluator.evaluate_raw(model.predict, sharded_params)
+
+    monkeypatch.setenv("NEUREC_EVAL_ITEM_SHARD", "0")
+    ev_single = Evaluator.from_dataset(dataset, conf)
+    r_single = ev_single.evaluator.evaluate_raw(model.predict, params)
+    np.testing.assert_allclose(r_single, r_mesh, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize(
     "kind_model", [("pairwise", "LightGCN"), ("dense_row", "MultiVAE")]
 )
