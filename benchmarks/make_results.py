@@ -81,6 +81,25 @@ def sweep_table(sweep):
     return "\n".join(lines), missing
 
 
+def loo_table(loo):
+    if not loo:
+        return "(no time-ordered runs recorded yet — `python benchmarks/seq_loo_quality.py`)"
+    lines = [
+        "| Model | epochs | HR@10 (=Recall@10) | HR@20 | NDCG@20 | MRR@20 | overrides |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name, r in loo.items():
+        if "error" in r:
+            continue
+        lines.append(
+            "| %s | %d | %.4f | %.4f | %.4f | %.4f | %s |"
+            % (name, r["epochs"], r["Recall@10"], r["Recall@20"],
+               r["NDCG@20"], r["MRR@20"],
+               " ".join(r.get("overrides", [])) or "—")
+        )
+    return "\n".join(lines)
+
+
 def northstar_section(ns):
     if not ns.get("history"):
         return "(no north-star run recorded)"
@@ -124,6 +143,7 @@ def northstar_section(ns):
 def main():
     quality = _load("ml100k_quality.json")
     sweep = _load("ml100k_quality_sweep.json")
+    loo = _load("seq_loo_quality.json")
     ns = _load("gowalla_northstar.json")
 
     sweep_md, missing = sweep_table(sweep)
@@ -168,9 +188,16 @@ reference does not ship):
 
 Next-item RNNs (GRU4Rec/GRU4RecPlus) are structurally capped by this
 protocol: the 80/20 split is unordered, so the "next item" supervision signal
-evaluates against a random 20%% holdout. See the time-ordered
-leave-one-out runs in `seq_loo_quality.json` for the protocol where these
-models are meaningfully measurable.
+evaluates against a random 20%% holdout.
+
+### Sequential models under the time-ordered protocol
+
+`splitter=loo, by_time=True` — each user's most recent item held out, the
+protocol the GRU4Rec/SASRec papers use and where next-item models are
+meaningfully measurable (under loo, Recall@K == HR@K since there is one
+ground-truth item per user). Raw JSON: `seq_loo_quality.json`:
+
+%s
 
 Train time includes one fresh XLA compile (the remote-compile service
 charges 20-300s per program); steady-state epoch times are a few ms.
@@ -223,7 +250,8 @@ published LightGCN gowalla numbers (NDCG@20 ≈ 0.31) use the full
 1.02M-interaction dataset; this 217k-row file is the paper's *test split*
 re-split 80/20, a 5x sparser graph, so absolute NDCG is expectedly lower —
 the run is a throughput/convergence north star, not a quality benchmark.
-""" % (flagship_table(quality), sweep_md, warn, northstar_section(ns))
+""" % (flagship_table(quality), sweep_md, warn, loo_table(loo),
+       northstar_section(ns))
 
     out = os.path.join(HERE, "RESULTS.md")
     with open(out, "w") as f:
