@@ -103,6 +103,28 @@ def main():
         "train_nnz": per_epoch, "eval_users": n_eval_users,
         "setup_s": round(setup_s, 1),
     }
+    # closed-form HBM-traffic model of one train step (the SpMM is
+    # bandwidth-bound: its FLOPs are 2*E*d ~ 50 MFLOP, noise on the MXU).
+    # Per SpMM: random-gather E feature rows + write n rows + plan ints;
+    # per step: n_layers fwd + n_layers transposed bwd SpMMs + the dense
+    # Adam update of both tables (7 table-sized arrays).
+    import os as _os
+
+    import numpy as np
+
+    E = int(np.count_nonzero(np.asarray(model.adj.vals)))
+    d = 64
+    elem = 2 if _os.environ.get("NEUREC_SPMM_DTYPE", "f32") in (
+        "bf16", "bfloat16") else 4
+    n_nodes = dataset.num_users + dataset.num_items
+    spmm_bytes = E * d * elem + n_nodes * d * 4 + E * 12
+    step_bytes = spmm_bytes * args.n_layers * 2 + 7 * n_nodes * d * 4
+    steps_per_epoch = -(-per_epoch // args.batch_size)
+    meta["hbm_model"] = {
+        "edges": E, "spmm_bytes": spmm_bytes, "step_bytes": step_bytes,
+        "steps_per_epoch": steps_per_epoch,
+        "peak_hbm_gbps": 819.0,  # TPU v5e
+    }
     print(json.dumps(meta), flush=True)
 
     key = jax.random.PRNGKey(2018)
@@ -130,6 +152,7 @@ def main():
             eval_s = time.perf_counter() - t0
             # metric rows follow the conf order: Recall, NDCG @ [20]
             recall20, ndcg20 = float(raw[0, 0]), float(raw[1, 0])
+            hbm = meta["hbm_model"]
             point = {
                 "epoch": epoch, "loss": round(float(loss), 4),
                 "Recall@20": round(recall20, 5), "NDCG@20": round(ndcg20, 5),
@@ -137,6 +160,13 @@ def main():
                 "examples_per_s": round(per_epoch / dt, 1),
                 "eval_s": round(eval_s, 2),
                 "eval_users_per_s": round(n_eval_users / eval_s, 1),
+                "hbm_gbps": round(
+                    hbm["step_bytes"] * hbm["steps_per_epoch"] / dt / 1e9, 1
+                ),
+                "hbm_util": round(
+                    hbm["step_bytes"] * hbm["steps_per_epoch"] / dt / 1e9
+                    / hbm["peak_hbm_gbps"], 3
+                ),
             }
             history.append(point)
             print(json.dumps(point), flush=True)

@@ -95,7 +95,9 @@ SWEEP = {
     # protocol itself (unordered 80/20 split) caps next-item RNNs — eval
     # replay was audited: training transitions rank well (hit@50≈0.37).
     "GRU4Rec": (100, ["--loss=bpr", "--lr=0.001"]),
-    "GRU4RecPlus": (100, ["--lr=0.001"]),
+    # GRU4RecPlus ships lr=0.01 — unlike GRU4Rec's 1e-4 it needs no raise
+    # (round 3 first pass mistakenly overrode it down to 1e-3)
+    "GRU4RecPlus": (100, []),
     "SASRec": (100, []),
     "SRGNN": (20, []),
 }

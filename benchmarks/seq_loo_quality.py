@@ -36,7 +36,7 @@ if REPO not in sys.path:
 # budget; the shipped conf budgets 1000 epochs at lr=1e-4)
 MODELS = {
     "GRU4Rec": (100, ["--loss=bpr", "--lr=0.001"]),
-    "GRU4RecPlus": (100, ["--lr=0.001"]),
+    "GRU4RecPlus": (100, []),  # ships lr=0.01; no raise needed
     "SASRec": (100, []),
     "FPMC": (100, ["--reg_mf=0.0"]),
     "NPE": (50, ["--reg=0.0"]),

@@ -135,7 +135,11 @@ def _scatter_kernel(tile_ref, first_ref, rows_ref, vals_ref, g_ref, out_ref):
     vals = vals_ref[pl.ds(i, 1), :]
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_r, chunk), 0)
     sel = jnp.where(rows == r_iota, vals, 0.0)                # (tile_r, chunk)
-    out_ref[:] += jnp.dot(sel, g_ref[:], preferred_element_type=jnp.float32)
+    g = g_ref[:]
+    if g.dtype != jnp.float32:
+        # bf16 compute path: both MXU operands bf16, f32 accumulate
+        sel = sel.astype(g.dtype)
+    out_ref[:] += jnp.dot(sel, g, preferred_element_type=jnp.float32)
 
 
 def scatter_arrays(
@@ -245,32 +249,65 @@ def stack_plans(plans):
 
 
 def plan_spmm(
-    plan: SpmmPlan, x: jnp.ndarray, interpret: bool = False
+    plan: SpmmPlan,
+    x: jnp.ndarray,
+    interpret: bool = False,
+    compute_dtype=None,
 ) -> jnp.ndarray:
     """A @ x for the plan's (n_rows, n_src) sparse A; gather in XLA,
     scatter in the Pallas kernel. Not differentiable on its own — models go
-    through :func:`make_spmm` which wires the transposed-plan VJP."""
+    through :func:`make_spmm` which wires the transposed-plan VJP.
+
+    ``compute_dtype=jnp.bfloat16`` casts the features BEFORE the gather
+    (halving the dominant random-access HBM traffic) and runs the selector
+    matmul at the MXU's bf16 rate; accumulation stays f32 in the kernel.
+    """
+    if compute_dtype is not None and x.dtype != compute_dtype:
+        x = x.astype(compute_dtype)
     g = x[plan.cols.reshape(-1)]
     return plan_scatter(plan, g, interpret=interpret)
 
 
-def make_spmm(plan: SpmmPlan, plan_t: SpmmPlan, interpret: bool = False):
+def _spmm_compute_dtype():
+    """NEUREC_SPMM_DTYPE=bf16 switches graph propagation to the bf16
+    gather/MXU path (f32 accumulate). Default f32."""
+    import os
+
+    return (
+        jnp.bfloat16
+        if os.environ.get("NEUREC_SPMM_DTYPE", "f32") in ("bf16", "bfloat16")
+        else None
+    )
+
+
+def make_spmm(
+    plan: SpmmPlan,
+    plan_t: SpmmPlan,
+    interpret: bool = False,
+    compute_dtype="env",
+):
     """Differentiable x -> A @ x with d/dx = A^T @ g via the transposed plan.
 
     The plans are closure constants (same lifecycle as SparseAdj's arrays in
     models' jitted losses). Adjacency values are not trained anywhere in the
     zoo, so only x carries a tangent.
     """
+    if compute_dtype == "env":
+        compute_dtype = _spmm_compute_dtype()
 
     @jax.custom_vjp
     def f(x):
-        return plan_spmm(plan, x, interpret=interpret)
+        return plan_spmm(plan, x, interpret=interpret,
+                         compute_dtype=compute_dtype)
 
     def fwd(x):
         return f(x), None
 
     def bwd(_, gout):
-        return (plan_spmm(plan_t, gout, interpret=interpret),)
+        return (
+            plan_spmm(plan_t, gout, interpret=interpret,
+                      compute_dtype=compute_dtype),
+        )
 
     f.defvjp(fwd, bwd)
     return f

@@ -154,6 +154,33 @@ def test_spmm_sharded_pallas_matches_dense(monkeypatch):
     np.testing.assert_allclose(np.asarray(g), ref_g, atol=5e-4)
 
 
+def test_bf16_compute_path(monkeypatch):
+    """NEUREC_SPMM_DTYPE=bf16: features cast before the gather, selector
+    matmul at bf16, f32 accumulate — result within bf16 tolerance of the
+    f64 oracle, and gradients still flow through the transposed plan."""
+    monkeypatch.setenv("NEUREC_SPMM_DTYPE", "bf16")
+    rng = np.random.default_rng(9)
+    n_rows = n_src = 500
+    d = 16
+    rows, cols, vals = _random_coo(rng, n_rows, n_src, 3000)
+    x = rng.standard_normal((n_src, d)).astype(np.float32)
+    plan = build_spmm_plan(rows, cols, vals, n_rows)
+    plan_t = build_spmm_plan(cols, rows, vals, n_src)
+    f = make_spmm(plan, plan_t, interpret=True)  # dtype from env
+
+    out = np.asarray(f(jnp.asarray(x)))
+    ref = _dense_ref(rows, cols, vals, n_rows, n_src, x)
+    scale = np.abs(ref).mean() + 1e-9
+    assert np.abs(out - ref).max() / scale < 0.15  # bf16 has ~8 mantissa bits
+    np.testing.assert_allclose(out, ref, rtol=0.1, atol=0.1 * scale)
+
+    g = jax.grad(lambda x: jnp.sum(f(x)))(jnp.asarray(x))
+    ref_g = np.zeros((n_src, d), np.float32)
+    np.add.at(ref_g, cols, np.repeat(vals[:, None], d, axis=1))
+    np.testing.assert_allclose(np.asarray(g), ref_g, rtol=0.1,
+                               atol=0.1 * (np.abs(ref_g).mean() + 1e-9))
+
+
 def test_grad_under_jit():
     """jit(grad(loss-with-spmm)) — the exact LightGCN train-step pattern."""
     rng = np.random.default_rng(5)
