@@ -181,6 +181,9 @@ def bench_eval_baseline(trainer, n_rounds=1):
     return len(users) * n_rounds / dt
 
 
+LIGHTGCN_BENCH = {"n_layers": 3, "batch_size": 1024, "embed_size": 64}
+
+
 def bench_lightgcn(dataset, conf, n_epochs=3):
     """LightGCN (the flagship graph model) fused-epoch throughput."""
     import jax
@@ -192,7 +195,9 @@ def bench_lightgcn(dataset, conf, n_epochs=3):
     lconf = DictConfig(
         {
             "recommender": "LightGCN", "lr": 0.01, "reg": 1e-3,
-            "embed_size": 64, "n_layers": 3, "batch_size": 1024,
+            "embed_size": LIGHTGCN_BENCH["embed_size"],
+            "n_layers": LIGHTGCN_BENCH["n_layers"],
+            "batch_size": LIGHTGCN_BENCH["batch_size"],
             "epochs": n_epochs, "learner": "adam", "adj_type": "pre",
             "verbose": 10 ** 9,
             "metric": ["Recall", "NDCG"], "topk": [20], "group_view": None,
@@ -251,7 +256,8 @@ def _chip_peaks():
     return table["v5e"]
 
 
-def perf_model(dataset, train_tput, lightgcn_tput, d=64, adam_arrays=7):
+def perf_model(dataset, train_tput, lightgcn_tput, mf_batch, mf_dim,
+               lg_layers, lg_batch, lg_dim, adam_arrays=7):
     """Closed-form roofline placement of the two flagship steps.
 
     MF-BPR fused step is HBM-bound: the dominant traffic is the dense Adam
@@ -267,22 +273,19 @@ def perf_model(dataset, train_tput, lightgcn_tput, d=64, adam_arrays=7):
     import jax
 
     U, I = dataset.num_users, dataset.num_items
-    nnz = dataset.train_matrix.nnz
     peak_bf16, peak_f32, peak_hbm = _chip_peaks()
 
     # --- MF: bytes per example = table_bytes * adam_arrays / batch ---
-    B = 512  # conf/MF.properties batch_size
-    table_bytes = (U + I) * d * 4
-    bytes_per_step = table_bytes * adam_arrays + 3 * B * d * 4 * 2
-    mf_bytes_per_s = train_tput / B * bytes_per_step
+    table_bytes = (U + I) * mf_dim * 4
+    bytes_per_step = table_bytes * adam_arrays + 3 * mf_batch * mf_dim * 4 * 2
+    mf_bytes_per_s = train_tput / mf_batch * bytes_per_step
     mf_hbm_util = mf_bytes_per_s / peak_hbm
 
     # --- LightGCN: FLOPs per example ---
-    n_layers, batch = 3, 1024  # bench_lightgcn's config
     n_nodes = U + I
-    spmm_flops = 2 * n_nodes * n_nodes * d
-    step_flops = spmm_flops * n_layers * 2  # fwd + transposed bwd
-    lg_flops_per_s = lightgcn_tput / batch * step_flops
+    spmm_flops = 2 * n_nodes * n_nodes * lg_dim
+    step_flops = spmm_flops * lg_layers * 2  # fwd + transposed bwd
+    lg_flops_per_s = lightgcn_tput / lg_batch * step_flops
     lg_mfu = lg_flops_per_s / peak_f32  # dense f32 adjacency matmul
 
     return {
@@ -332,7 +335,14 @@ def main():
     eval_base = bench_eval_baseline(trainer)
     lightgcn_tput = bench_lightgcn(dataset, conf)
     parity_gap = bench_eval_parity(trainer)
-    roofline = perf_model(dataset, train_tput, lightgcn_tput)
+    roofline = perf_model(
+        dataset, train_tput, lightgcn_tput,
+        mf_batch=int(conf["batch_size"]),
+        mf_dim=int(conf["embedding_size"]),
+        lg_layers=LIGHTGCN_BENCH["n_layers"],
+        lg_batch=LIGHTGCN_BENCH["batch_size"],
+        lg_dim=LIGHTGCN_BENCH["embed_size"],
+    )
 
     print(
         json.dumps(

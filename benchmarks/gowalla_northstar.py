@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--target_ndcg20", type=float, default=0.28)
     ap.add_argument("--n_layers", type=int, default=3)
     ap.add_argument("--batch_size", type=int, default=2048)
+    ap.add_argument("--lr", type=float, default=0.001)
+    ap.add_argument("--out", default=OUT,
+                    help="JSON output path (default overwrites the record)")
     args = ap.parse_args()
 
     ensure_local_copy()
@@ -70,7 +73,7 @@ def main():
             "--ratio=0.8",
             "--by_time=False",
             # LightGCN-paper gowalla hyperparameters
-            "--lr=0.001",
+            "--lr=%s" % args.lr,
             "--reg=1e-4",
             "--embed_size=64",
             "--n_layers=%d" % args.n_layers,
@@ -97,19 +100,25 @@ def main():
     setup_s = time.perf_counter() - t0
     per_epoch = int(dataset.train_matrix.nnz)
     n_eval_users = len(trainer.evaluator.evaluator.test_users)
+    import os as _os
+
     meta = {
         "dataset": "gowalla (217,242 UI; 80/20 per-user ratio split)",
         "num_users": dataset.num_users, "num_items": dataset.num_items,
         "train_nnz": per_epoch, "eval_users": n_eval_users,
         "setup_s": round(setup_s, 1),
+        # full run provenance: sweep runs must be distinguishable from the
+        # canonical lr=0.001 / batch=2048 record
+        "config": {"lr": args.lr, "batch_size": args.batch_size,
+                   "n_layers": args.n_layers, "embed_size": 64,
+                   "adj_type": "pre",
+                   "spmm_dtype": _os.environ.get("NEUREC_SPMM_DTYPE", "f32")},
     }
     # closed-form HBM-traffic model of one train step (the SpMM is
     # bandwidth-bound: its FLOPs are 2*E*d ~ 50 MFLOP, noise on the MXU).
     # Per SpMM: random-gather E feature rows + write n rows + plan ints;
     # per step: n_layers fwd + n_layers transposed bwd SpMMs + the dense
     # Adam update of both tables (7 table-sized arrays).
-    import os as _os
-
     import numpy as np
 
     E = int(np.count_nonzero(np.asarray(model.adj.vals)))
@@ -170,7 +179,7 @@ def main():
             }
             history.append(point)
             print(json.dumps(point), flush=True)
-            with open(OUT, "w") as f:
+            with open(args.out, "w") as f:
                 json.dump({"meta": meta, "compile_s": compile_s,
                            "history": history}, f, indent=1)
             if reached is None and ndcg20 >= args.target_ndcg20:
@@ -178,7 +187,7 @@ def main():
                            "target_ndcg20": args.target_ndcg20,
                            "train_wall_s_excl_compile": round(train_s, 1)}
                 print(json.dumps(reached), flush=True)
-    with open(OUT, "w") as f:
+    with open(args.out, "w") as f:
         json.dump({"meta": meta, "compile_s": compile_s,
                    "history": history, "reached": reached}, f, indent=1)
         f.write("\n")

@@ -52,8 +52,8 @@ def flagship_table(quality):
             continue
         lines.append(
             "| %s | %d | %.4f | %.4f | %.4f | %.0f s |"
-            % (label, epochs, r["Recall@20"], r["NDCG@20"], r["MRR@20"],
-               r["train_time_s"])
+            % (label, r.get("epochs", epochs), r["Recall@20"], r["NDCG@20"],
+               r["MRR@20"], r["train_time_s"])
         )
     return "\n".join(lines)
 
@@ -146,11 +146,46 @@ def northstar_section(ns):
     return "\n".join(rows)
 
 
+def tuned_section(tn):
+    if not tn.get("history"):
+        return ""
+    cfg = tn.get("meta", {}).get("config", {})
+    hist = tn["history"]
+    reached = tn.get("reached") or {}
+    best = max(hist, key=lambda p: p["NDCG@20"])
+    ex_s = sum(p["examples_per_s"] for p in hist[1:]) / max(len(hist) - 1, 1)
+    lines = [
+        "",
+        "**Tuned single-chip config** (batch %s, lr %s — larger batch"
+        % (cfg.get("batch_size"), cfg.get("lr")),
+        "amortizes the full-graph propagation over 4x the examples per"
+        " step; raw JSON `gowalla_tuned.json`):",
+        "",
+        "| Measurement | value |",
+        "|---|---|",
+        "| train throughput | %.0fk examples/s/chip (%.2f s/epoch) |"
+        % (ex_s / 1e3, hist[1]["epoch_s"]),
+    ]
+    if reached:
+        lines.append(
+            "| NDCG@20 ≥ %.3f | epoch %d, **%.0f s** train wall"
+            " (canonical config: 208 s; round-2 record: 716 s) |"
+            % (reached["target_ndcg20"], reached["epochs_to_target"],
+               reached["train_wall_s_excl_compile"])
+        )
+    lines.append(
+        "| best measured (epoch %d) | Recall@20 %.4f, NDCG@20 %.4f |"
+        % (best["epoch"], best["Recall@20"], best["NDCG@20"])
+    )
+    return "\n".join(lines) + "\n"
+
+
 def main():
     quality = _load("ml100k_quality.json")
     sweep = _load("ml100k_quality_sweep.json")
     loo = _load("seq_loo_quality.json")
     ns = _load("gowalla_northstar.json")
+    tuned = _load("gowalla_tuned.json")
 
     sweep_md, missing = sweep_table(sweep)
     warn = ""
@@ -259,8 +294,8 @@ published LightGCN gowalla numbers (NDCG@20 ≈ 0.31) use the full
 1.02M-interaction dataset; this 217k-row file is the paper's *test split*
 re-split 80/20, a 5x sparser graph, so absolute NDCG is expectedly lower —
 the run is a throughput/convergence north star, not a quality benchmark.
-""" % (flagship_table(quality), sweep_md, warn, loo_table(loo),
-       northstar_section(ns))
+%s""" % (flagship_table(quality), sweep_md, warn, loo_table(loo),
+       northstar_section(ns), tuned_section(tuned))
 
     out = os.path.join(HERE, "RESULTS.md")
     with open(out, "w") as f:

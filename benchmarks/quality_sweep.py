@@ -197,39 +197,42 @@ def run_one(name: str) -> dict:
     return rec
 
 
-def merge(name: str, rec: dict) -> None:
+def merge_into(out_path: str, name: str, rec: dict) -> None:
+    """Insert one model's record into a results JSON (trailing newline)."""
     data = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
+    if os.path.exists(out_path):
+        with open(out_path) as f:
             data = json.load(f)
     data[name] = rec
-    with open(OUT, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(data, f, indent=1)
         f.write("\n")
 
 
-def drive(only=None) -> int:
+def drive_models(script, out_path, targets, timeout_s, label="") -> int:
+    """Shared sweep driver: one subprocess per model (a hang cannot kill
+    the sweep), skip models already in ``out_path``, record failures and
+    continue. Used by this script and seq_loo_quality.py."""
     done = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
+    if os.path.exists(out_path):
+        with open(out_path) as f:
             done = json.load(f)
-    targets = [only] if only else list(SWEEP)
     failures = []
     for name in targets:
         if name in done and "error" not in done[name]:
             print("skip %s (done)" % name, flush=True)
             continue
-        print("=== %s ===" % name, flush=True)
+        print("=== %s%s ===" % (name, label), flush=True)
         t0 = time.time()
         try:
             env = dict(os.environ)
             # keep the axon sitecustomize on the path (CLAUDE.md quirk)
             env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", name],
+                [sys.executable, script, "--one", name],
                 cwd=REPO,
                 env=env,
-                timeout=PER_MODEL_TIMEOUT_S,
+                timeout=timeout_s,
                 capture_output=True,
                 text=True,
             )
@@ -237,7 +240,7 @@ def drive(only=None) -> int:
                 raise RuntimeError(proc.stdout[-2000:] + proc.stderr[-2000:])
         except Exception as e:  # noqa: BLE001 - record and continue the sweep
             print("FAILED %s: %s" % (name, str(e)[:500]), flush=True)
-            merge(name, {"error": str(e)[-1000:]})
+            merge_into(out_path, name, {"error": str(e)[-1000:]})
             failures.append(name)
             continue
         print(
@@ -246,6 +249,17 @@ def drive(only=None) -> int:
     if failures:
         print("failures:", failures, flush=True)
     return 1 if failures else 0
+
+
+def merge(name: str, rec: dict) -> None:
+    merge_into(OUT, name, rec)
+
+
+def drive(only=None) -> int:
+    return drive_models(
+        os.path.abspath(__file__), OUT, [only] if only else list(SWEEP),
+        PER_MODEL_TIMEOUT_S,
+    )
 
 
 if __name__ == "__main__":

@@ -19,9 +19,7 @@ Under loo, Recall@K == HR@K (one ground-truth item per user).
 from __future__ import annotations
 
 import argparse
-import json
 import os
-import subprocess
 import sys
 import time
 
@@ -93,51 +91,18 @@ def run_one(name: str) -> dict:
 
 
 def merge(name: str, rec: dict) -> None:
-    data = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            data = json.load(f)
-    data[name] = rec
-    with open(OUT, "w") as f:
-        json.dump(data, f, indent=1)
-        f.write("\n")
+    from benchmarks.quality_sweep import merge_into
+
+    merge_into(OUT, name, rec)
 
 
 def drive(only=None) -> int:
-    done = {}
-    if os.path.exists(OUT):
-        with open(OUT) as f:
-            done = json.load(f)
-    targets = [only] if only else list(MODELS)
-    failures = []
-    for name in targets:
-        if name in done and "error" not in done[name]:
-            print("skip %s (done)" % name, flush=True)
-            continue
-        print("=== %s (loo by_time) ===" % name, flush=True)
-        t0 = time.time()
-        try:
-            env = dict(os.environ)
-            env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--one", name],
-                cwd=REPO,
-                env=env,
-                timeout=PER_MODEL_TIMEOUT_S,
-                capture_output=True,
-                text=True,
-            )
-            if proc.returncode != 0:
-                raise RuntimeError(proc.stdout[-2000:] + proc.stderr[-2000:])
-        except Exception as e:  # noqa: BLE001 - record and continue
-            print("FAILED %s: %s" % (name, str(e)[:500]), flush=True)
-            merge(name, {"error": str(e)[-1000:]})
-            failures.append(name)
-            continue
-        print("ok %s (%.0fs total)" % (name, time.time() - t0), flush=True)
-    if failures:
-        print("failures:", failures, flush=True)
-    return 1 if failures else 0
+    from benchmarks.quality_sweep import drive_models
+
+    return drive_models(
+        os.path.abspath(__file__), OUT, [only] if only else list(MODELS),
+        PER_MODEL_TIMEOUT_S, label=" (loo by_time)",
+    )
 
 
 if __name__ == "__main__":

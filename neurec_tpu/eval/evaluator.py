@@ -217,17 +217,10 @@ class UniEvaluator:
         """
         from jax.sharding import PartitionSpec as P
 
+        from neurec_tpu.ops.graph import _shard_map
         from neurec_tpu.ops.pallas_kernels import masked_scores
 
-        try:
-            from jax import shard_map
-
-            rep_kw = {"check_vma": False}
-        except ImportError:  # jax < 0.8
-            from jax.experimental.shard_map import shard_map
-
-            rep_kw = {"check_rep": False}
-
+        shard_map, rep_kw = _shard_map()
         mesh = self.mesh
         n_model = dict(zip(mesh.axis_names, mesh.devices.shape))["model"]
         num_items = self.num_items
@@ -324,15 +317,9 @@ class UniEvaluator:
                 # replicate the kernel; eval scales with the 'data' axis.
                 from jax.sharding import PartitionSpec as P
 
-                try:
-                    from jax import shard_map
+                from neurec_tpu.ops.graph import _shard_map
 
-                    _rep_kw = {"check_vma": False}
-                except ImportError:  # jax < 0.8
-                    from jax.experimental.shard_map import shard_map
-
-                    _rep_kw = {"check_rep": False}
-
+                shard_map, _rep_kw = _shard_map()
                 if "data" in self.mesh.axis_names:
                     masked_fn = shard_map(
                         masked_fn,

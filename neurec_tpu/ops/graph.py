@@ -352,11 +352,16 @@ def spmm_sharded(adj: ShardedAdj, x: jnp.ndarray, mesh) -> jnp.ndarray:
 
         from neurec_tpu.ops.pallas_spmm import scatter_arrays
 
+        from neurec_tpu.ops.pallas_spmm import _spmm_compute_dtype
+
         interpret = os.environ.get("NEUREC_PALLAS_INTERPRET", "") == "1"
+        compute_dtype = _spmm_compute_dtype()  # NEUREC_SPMM_DTYPE=bf16
         plan, plan_t = adj.plan, adj.plan_t
         n_blocks = int(plan.rows.shape[0])
 
         def fwd_body(pr, pc, pv, pt, pf, xx):
+            if compute_dtype is not None:
+                xx = xx.astype(compute_dtype)
             g = xx[pc[0].reshape(-1)]
             out = scatter_arrays(
                 pt[0], pf[0], pr[0], pv[0], g,
@@ -366,6 +371,7 @@ def spmm_sharded(adj: ShardedAdj, x: jnp.ndarray, mesh) -> jnp.ndarray:
 
         def bwd_body(pr, pc, pv, pt, pf, gg):
             # per-block A_b^T @ g_b (block-local gather), summed over blocks
+            gg = gg if compute_dtype is None else gg.astype(compute_dtype)
             g = gg[0][pc[0].reshape(-1)]
             part = scatter_arrays(
                 pt[0], pf[0], pr[0], pv[0], g,
