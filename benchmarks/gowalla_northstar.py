@@ -112,7 +112,7 @@ def main():
         "config": {"lr": args.lr, "batch_size": args.batch_size,
                    "n_layers": args.n_layers, "embed_size": 64,
                    "adj_type": "pre",
-                   "spmm_dtype": _os.environ.get("NEUREC_SPMM_DTYPE", "f32")},
+                   "spmm_dtype": _os.environ.get("NEUREC_SPMM_DTYPE", "auto")},
     }
     # closed-form HBM-traffic model of one train step (the SpMM is
     # bandwidth-bound: its FLOPs are 2*E*d ~ 50 MFLOP, noise on the MXU).
@@ -121,10 +121,11 @@ def main():
     # Adam update of both tables (7 table-sized arrays).
     import numpy as np
 
+    from neurec_tpu.ops.pallas_spmm import _spmm_compute_dtype
+
     E = int(np.count_nonzero(np.asarray(model.adj.vals)))
     d = 64
-    elem = 2 if _os.environ.get("NEUREC_SPMM_DTYPE", "f32") in (
-        "bf16", "bfloat16") else 4
+    elem = 2 if _spmm_compute_dtype() is not None else 4
     n_nodes = dataset.num_users + dataset.num_items
     spmm_bytes = E * d * elem + n_nodes * d * 4 + E * 12
     step_bytes = spmm_bytes * args.n_layers * 2 + 7 * n_nodes * d * 4

@@ -269,13 +269,27 @@ def plan_spmm(
 
 
 def _spmm_compute_dtype():
-    """NEUREC_SPMM_DTYPE=bf16 switches graph propagation to the bf16
-    gather/MXU path (f32 accumulate). Default f32."""
+    """Feature dtype for the SpMM gather + selector matmul.
+
+    On real TPUs the MXU's DEFAULT precision already truncates f32 matmul
+    operands to bf16 (f32 accumulate), so feeding bf16 explicitly produces
+    BIT-IDENTICAL results (verified on the gowalla north star: losses and
+    metrics match to every printed digit) while halving the dominant
+    random-gather HBM traffic — hence bf16 is the TPU default. On CPU
+    (incl. Pallas interpret mode, where matmuls are true f32) the default
+    stays f32 so numerics match the oracles. NEUREC_SPMM_DTYPE=f32|bf16
+    overrides either way.
+    """
     import os
 
+    flag = os.environ.get("NEUREC_SPMM_DTYPE", "auto")
+    if flag in ("bf16", "bfloat16"):
+        return jnp.bfloat16
+    if flag in ("f32", "float32"):
+        return None
     return (
         jnp.bfloat16
-        if os.environ.get("NEUREC_SPMM_DTYPE", "f32") in ("bf16", "bfloat16")
+        if jax.devices()[0].platform.lower() not in ("cpu",)
         else None
     )
 
