@@ -271,14 +271,16 @@ def plan_spmm(
 def _spmm_compute_dtype():
     """Feature dtype for the SpMM gather + selector matmul.
 
-    On real TPUs the MXU's DEFAULT precision already truncates f32 matmul
-    operands to bf16 (f32 accumulate), so feeding bf16 explicitly produces
-    BIT-IDENTICAL results (verified on the gowalla north star: losses and
-    metrics match to every printed digit) while halving the dominant
-    random-gather HBM traffic — hence bf16 is the TPU default. On CPU
-    (incl. Pallas interpret mode, where matmuls are true f32) the default
-    stays f32 so numerics match the oracles. NEUREC_SPMM_DTYPE=f32|bf16
-    overrides either way.
+    On real TPUs the MXU's DEFAULT precision already reduces f32 matmul
+    operands to bf16 (f32 accumulate), so feeding bf16 explicitly is
+    numerically equivalent — measured on the gowalla north star: losses
+    and metrics identical to every printed digit over 12 epochs, and
+    drift only in the 4th decimal after 150 (the explicit cast rounds
+    to-nearest while the MXU path may truncate) — while halving the
+    dominant random-gather HBM traffic. Hence bf16 is the TPU default.
+    On CPU (incl. Pallas interpret mode, where matmuls are true f32) the
+    default stays f32 so numerics match the oracles.
+    NEUREC_SPMM_DTYPE=f32|bf16 overrides either way.
     """
     import os
 
