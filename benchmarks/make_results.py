@@ -100,6 +100,28 @@ def loo_table(loo):
     return "\n".join(lines)
 
 
+MODEL_BENCH_LABELS = {
+    "NeuMF": "NeuMF (pointwise, 4 negatives, 3-layer MLP tower)",
+    "MultiVAE": "MultiVAE (dense-row ELBO, annealed KL)",
+    "SASRec": "SASRec (2 blocks, 1 head, max_len 50)",
+}
+
+
+def model_bench_table(mb):
+    if not mb:
+        return "(run `python benchmarks/model_bench.py` to record)"
+    lines = ["| Model | throughput | epoch time |", "|---|---|---|"]
+    for name, r in mb.items():
+        tput = r["throughput"]
+        tstr = ("%.2fM" % (tput / 1e6)) if tput >= 1e6 else ("%.0fk" % (tput / 1e3))
+        lines.append(
+            "| %s | %s %s | %.1f ms (%s instances) |"
+            % (MODEL_BENCH_LABELS.get(name, name), tstr, r["unit"],
+               r["epoch_ms"], "{:,}".format(r["per_epoch_instances"]))
+        )
+    return "\n".join(lines)
+
+
 def northstar_section(ns):
     if not ns.get("history"):
         return "(no north-star run recorded)"
@@ -186,6 +208,7 @@ def main():
     loo = _load("seq_loo_quality.json")
     ns = _load("gowalla_northstar.json")
     tuned = _load("gowalla_tuned.json")
+    mb = _load("model_bench.json")
 
     sweep_md, missing = sweep_table(sweep)
     warn = ""
@@ -258,11 +281,7 @@ executions run far below steady state on this chip):
 Remaining BASELINE.md flagship configs (`python benchmarks/model_bench.py`,
 shipped conf hyperparameters, steady state after warm-up):
 
-| Model | throughput | epoch time |
-|---|---|---|
-| NeuMF (pointwise, 4 negatives, 3-layer MLP tower) | 5.78M examples/s/chip | 69 ms (401,835 instances) |
-| MultiVAE (dense-row ELBO, annealed KL) | 106k users/s/chip | 8.9 ms |
-| SASRec (2 blocks, 1 head, max_len 50) | 72.9k sequences/s/chip | 12.9 ms |
+%s
 
 Ranges span repeated bench.py runs on different days on the shared tunneled
 chip — both "ours" and the baseline move together with chip load, so the
@@ -295,7 +314,7 @@ published LightGCN gowalla numbers (NDCG@20 ≈ 0.31) use the full
 re-split 80/20, a 5x sparser graph, so absolute NDCG is expectedly lower —
 the run is a throughput/convergence north star, not a quality benchmark.
 %s""" % (flagship_table(quality), sweep_md, warn, loo_table(loo),
-       northstar_section(ns), tuned_section(tuned))
+       model_bench_table(mb), northstar_section(ns), tuned_section(tuned))
 
     out = os.path.join(HERE, "RESULTS.md")
     with open(out, "w") as f:

@@ -106,14 +106,27 @@ def bench_model(name, n_epochs):
     }
 
 
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                   "model_bench.json")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--models", default="NeuMF,MultiVAE,SASRec")
     args = ap.parse_args()
 
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            results = json.load(f)
     for name in args.models.split(","):
-        print(json.dumps(bench_model(name.strip(), args.epochs)), flush=True)
+        rec = bench_model(name.strip(), args.epochs)
+        print(json.dumps(rec), flush=True)
+        results[rec["model"]] = rec
+        with open(OUT, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
 
 
 if __name__ == "__main__":
