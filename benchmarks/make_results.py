@@ -230,7 +230,8 @@ parity targets are self-measured. Raw JSON: `ml100k_quality.json`,
 
 Split: per-user 80/20 ratio (NeuRec.properties defaults, by_time=False),
 full-catalog evaluation, train items masked. Reference conf hyperparameters
-unless noted. Flagship configs (longer epoch budgets):
+unless noted. Flagship configs (longer epoch budgets; regenerate with
+`python benchmarks/flagship_quality.py`):
 
 %s
 

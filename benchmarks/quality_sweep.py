@@ -156,7 +156,10 @@ def ensure_pretrains() -> None:
         print("wrote %s (MF d=%d, 100 epochs)" % (path, dim), flush=True)
 
 
-def run_one(name: str) -> dict:
+def run_model(name: str, epochs: int, extra, extra_lib_args=()) -> dict:
+    """Train one model on the reference default protocol and return its
+    final metric record (shared by the sweep, the flagship-quality script
+    and the loo-protocol script)."""
     import random
 
     import numpy as np
@@ -169,8 +172,7 @@ def run_one(name: str) -> dict:
     np.random.seed(2018)
     random.seed(2018)
 
-    epochs, extra = SWEEP[name]
-    cmd_args = [
+    cmd_args = list(extra_lib_args) + [
         "--recommender=%s" % name,
         "--epochs=%d" % epochs,
         "--verbose=%d" % max(epochs, 1),
@@ -195,6 +197,11 @@ def run_one(name: str) -> dict:
     for k, v in zip(names, values.split("\t")):
         rec[k.strip()] = round(float(v), 5)
     return rec
+
+
+def run_one(name: str) -> dict:
+    epochs, extra = SWEEP[name]
+    return run_model(name, epochs, extra)
 
 
 def merge_into(out_path: str, name: str, rec: dict) -> None:

@@ -45,48 +45,12 @@ PER_MODEL_TIMEOUT_S = 2700
 
 
 def run_one(name: str) -> dict:
-    import random
-
-    import numpy as np
-
-    from neurec_tpu.config import Config
-    from neurec_tpu.data.dataset import Dataset
-    from neurec_tpu.models import get_model
-    from neurec_tpu.trainer import Trainer
-
-    np.random.seed(2018)
-    random.seed(2018)
+    from benchmarks.quality_sweep import run_model
 
     epochs, extra = MODELS[name]
-    cmd_args = [
-        "--recommender=%s" % name,
-        "--epochs=%d" % epochs,
-        "--verbose=%d" % max(epochs, 1),
-    ] + LOO_ARGS + list(extra)
-    conf = Config(
-        os.path.join(REPO, "NeuRec.properties"),
-        default_section="hyperparameters",
-        cmd_args=cmd_args,
-    )
-    dataset = Dataset(conf)
-    model = get_model(name)(dataset, conf)
-    trainer = Trainer(model, dataset, conf)
-
-    t0 = time.time()
-    trainer.train()
-    train_s = time.time() - t0
-
-    header = trainer.evaluator.metrics_info()
-    values = trainer.evaluate()
-    names = header.split("metrics:\t", 1)[1].split("\t")
-    rec = {
-        "epochs": epochs,
-        "protocol": "loo by_time (last item per user held out)",
-        "overrides": extra,
-        "train_time_s": round(train_s, 1),
-    }
-    for k, v in zip(names, values.split("\t")):
-        rec[k.strip()] = round(float(v), 5)
+    rec = run_model(name, epochs, extra, extra_lib_args=LOO_ARGS)
+    rec["protocol"] = "loo by_time (last item per user held out)"
+    rec["overrides"] = extra
     return rec
 
 
