@@ -62,6 +62,11 @@ def main():
     mesh = make_mesh(n_data=4, n_model=2)
     for entry in spec:
         name, workdir = entry["name"], entry["workdir"]
+        tag = entry.get("tag", name)
+        # per-entry env knobs (e.g. forcing the item-sharded eval merge);
+        # read lazily at eval trace time so setting them here is effective
+        for k, v in entry.get("env", {}).items():
+            os.environ[k] = v
         conf = Config(os.path.join(workdir, "NeuRec.properties"), cmd_args=[])
         dataset = Dataset(conf)
         model = get_model(name)(dataset, conf)
@@ -79,7 +84,7 @@ def main():
             # group_view configs dispatch to GroupedEvaluator (string API)
             grouped = trainer.evaluator.evaluate(model.predict, trainer.params)
             print(
-                "GROUPED%d:%s %s" % (rank, name, json.dumps(grouped)),
+                "GROUPED%d:%s %s" % (rank, tag, json.dumps(grouped)),
                 flush=True,
             )
         else:
@@ -88,9 +93,11 @@ def main():
             )
             print(
                 "RESULT%d:%s %s"
-                % (rank, name, json.dumps(np.asarray(raw).tolist())),
+                % (rank, tag, json.dumps(np.asarray(raw).tolist())),
                 flush=True,
             )
+        for k in entry.get("env", {}):
+            os.environ.pop(k, None)
 
 
 if __name__ == "__main__":

@@ -48,13 +48,18 @@ SASREC_PROPS = {
     "dropout_rate": 0.2, "verbose": 2,
 }
 
-# (model name, alg props, extra lib-config overrides, grouped?, epochs)
+# (tag, model name, alg props, extra lib overrides, grouped?, epochs, env)
 CASES = [
-    ("MF", MF_PROPS, {}, False, 2),
-    ("MultiVAE", MULTIVAE_PROPS, {}, False, 2),
-    ("SASRec", SASREC_PROPS, {}, False, 2),
+    ("MF", "MF", MF_PROPS, {}, False, 2, {}),
+    ("MultiVAE", "MultiVAE", MULTIVAE_PROPS, {}, False, 2, {}),
+    ("SASRec", "SASRec", SASREC_PROPS, {}, False, 2, {}),
     # GroupedEvaluator under 2 processes (buckets by #train interactions)
-    ("MF", MF_PROPS, {"group_view": "[10, 20, 40]"}, True, 2),
+    ("MF:grouped", "MF", MF_PROPS, {"group_view": "[10, 20, 40]"}, True, 2,
+     {}),
+    # item-sharded eval merge (table P('model'), all_gather top-K) under
+    # 2 real processes — the exact-merge must equal the plain evaluator
+    ("MF:itemshard", "MF", MF_PROPS, {}, False, 2,
+     {"NEUREC_EVAL_ITEM_SHARD": "1", "NEUREC_PALLAS_INTERPRET": "1"}),
 ]
 
 
@@ -101,14 +106,17 @@ def _single_process_oracle(name, conf, dataset, grouped, epochs):
 
 def test_two_process_train_eval_matches_single(tmp_path):
     spec, oracles = [], {}
-    for idx, (name, props, overrides, grouped, epochs) in enumerate(CASES):
+    for idx, (tag, name, props, overrides, grouped, epochs, env) in enumerate(
+        CASES
+    ):
         workdir, conf, dataset = _setup_case(tmp_path, idx, name, props,
                                              overrides)
-        key = "%s%s" % (name, ":grouped" if grouped else "")
-        oracles[key] = _single_process_oracle(name, conf, dataset, grouped,
+        # oracles always run the PLAIN single-process evaluator — for the
+        # item-shard case that is the point of the comparison
+        oracles[tag] = _single_process_oracle(name, conf, dataset, grouped,
                                               epochs)
-        spec.append({"name": name, "workdir": str(workdir),
-                     "epochs": epochs, "grouped": grouped})
+        spec.append({"name": name, "tag": tag, "workdir": str(workdir),
+                     "epochs": epochs, "grouped": grouped, "env": env})
 
     spec_path = tmp_path / "spec.json"
     spec_path.write_text(json.dumps(spec))
@@ -139,13 +147,13 @@ def test_two_process_train_eval_matches_single(tmp_path):
                 tag, payload = line.split(" ", 1)
                 results[tag] = json.loads(payload)
 
-    for name, props, overrides, grouped, epochs in CASES:
+    for tag, name, props, overrides, grouped, epochs, env in CASES:
         if grouped:
-            g0 = results["GROUPED0:%s" % name]
-            g1 = results["GROUPED1:%s" % name]
+            g0 = results["GROUPED0:%s" % tag]
+            g1 = results["GROUPED1:%s" % tag]
             # both ranks produce the identical multi-line grouped string
             assert g0 == g1
-            want = oracles["%s:grouped" % name]
+            want = oracles[tag]
             # same group labels; per-group numbers within tolerance
             for line_m, line_s in zip(g0.splitlines(), want.splitlines()):
                 if not line_m.strip():
@@ -159,9 +167,9 @@ def test_two_process_train_eval_matches_single(tmp_path):
                     rtol=5e-3, atol=1e-3,
                 )
         else:
-            r0 = np.asarray(results["RESULT0:%s" % name])
-            r1 = np.asarray(results["RESULT1:%s" % name])
+            r0 = np.asarray(results["RESULT0:%s" % tag])
+            r1 = np.asarray(results["RESULT1:%s" % tag])
             np.testing.assert_allclose(r0, r1, rtol=1e-6, atol=1e-7)
             # 2-process == 1-process numerics (same seeds, same batches)
-            np.testing.assert_allclose(r0, oracles[name], rtol=5e-3,
-                                       atol=1e-3, err_msg=name)
+            np.testing.assert_allclose(r0, oracles[tag], rtol=5e-3,
+                                       atol=1e-3, err_msg=tag)
