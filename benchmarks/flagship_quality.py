@@ -5,7 +5,8 @@ The five BASELINE.md flagship configs at their full epoch budgets (the
 table in RESULTS.md reproducible from a committed script instead of "the
 repo history":
 
-  python benchmarks/flagship_quality.py            # all five
+  python benchmarks/flagship_quality.py            # all five (skips done)
+  python benchmarks/flagship_quality.py --force    # re-run everything
   python benchmarks/flagship_quality.py --one MF
 """
 
@@ -42,12 +43,26 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--one", help="run a single model in-process and merge")
     ap.add_argument("--only", help="driver mode, single model subprocess")
+    ap.add_argument("--force", action="store_true",
+                    help="drop existing records first (drive_models skips "
+                         "models already present, so a committed JSON makes "
+                         "the default invocation a no-op)")
     a = ap.parse_args()
     if a.one:
         epochs, extra = FLAGSHIPS[a.one]
         merge_into(OUT, a.one, run_model(a.one, epochs, extra))
         print("done", a.one)
     else:
+        if a.force and os.path.exists(OUT):
+            import json
+
+            with open(OUT) as f:
+                data = json.load(f)
+            for name in ([a.only] if a.only else list(FLAGSHIPS)):
+                data.pop(name, None)
+            with open(OUT, "w") as f:
+                json.dump(data, f, indent=1)
+                f.write("\n")
         sys.exit(
             drive_models(
                 os.path.abspath(__file__), OUT,

@@ -121,11 +121,18 @@ def main():
     # Adam update of both tables (7 table-sized arrays).
     import numpy as np
 
+    from neurec_tpu.ops.graph import _pallas_spmm_enabled
     from neurec_tpu.ops.pallas_spmm import _spmm_compute_dtype
 
     E = int(np.count_nonzero(np.asarray(model.adj.vals)))
     d = 64
-    elem = 2 if _spmm_compute_dtype() is not None else 4
+    # the bf16 gather only exists on the Pallas path; the XLA segment-sum
+    # fallback (NEUREC_SPMM_PALLAS=0) always gathers f32
+    elem = (
+        2
+        if _pallas_spmm_enabled() and _spmm_compute_dtype() is not None
+        else 4
+    )
     n_nodes = dataset.num_users + dataset.num_items
     spmm_bytes = E * d * elem + n_nodes * d * 4 + E * 12
     step_bytes = spmm_bytes * args.n_layers * 2 + 7 * n_nodes * d * 4

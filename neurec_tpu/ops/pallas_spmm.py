@@ -289,6 +289,15 @@ def _spmm_compute_dtype():
         return jnp.bfloat16
     if flag in ("f32", "float32"):
         return None
+    if flag != "auto":
+        # fail loudly: a typo silently landing on bf16 would defeat an
+        # explicit attempt to force exact f32
+        raise ValueError(
+            "NEUREC_SPMM_DTYPE must be 'f32', 'bf16' or 'auto', got %r"
+            % flag
+        )
+    if os.environ.get("NEUREC_PALLAS_INTERPRET", "") == "1":
+        return None  # interpret mode does true f32 matmuls — keep oracles exact
     return (
         jnp.bfloat16
         if jax.devices()[0].platform.lower() not in ("cpu",)

@@ -64,7 +64,9 @@ def main():
         name, workdir = entry["name"], entry["workdir"]
         tag = entry.get("tag", name)
         # per-entry env knobs (e.g. forcing the item-sharded eval merge);
-        # read lazily at eval trace time so setting them here is effective
+        # read lazily at eval trace time so setting them here is effective.
+        # Prior values are saved and restored after the entry.
+        saved_env = {k: os.environ.get(k) for k in entry.get("env", {})}
         for k, v in entry.get("env", {}).items():
             os.environ[k] = v
         conf = Config(os.path.join(workdir, "NeuRec.properties"), cmd_args=[])
@@ -96,8 +98,11 @@ def main():
                 % (rank, tag, json.dumps(np.asarray(raw).tolist())),
                 flush=True,
             )
-        for k in entry.get("env", {}):
-            os.environ.pop(k, None)
+        for k, old in saved_env.items():
+            if old is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = old
 
 
 if __name__ == "__main__":
