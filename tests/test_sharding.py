@@ -205,6 +205,66 @@ def test_item_sharded_eval_matches_single_device(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_item_shard_auto_engages_above_threshold(monkeypatch):
+    """The 100k-item auto threshold must actually switch the evaluator to
+    the item-sharded path (not only the forced NEUREC_EVAL_ITEM_SHARD=1
+    mode) and still match the unsharded evaluator exactly."""
+    monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("NEUREC_EVAL_ITEM_SHARD", raising=False)
+    from neurec_tpu.eval.evaluator import _ITEM_SHARD_THRESHOLD, UniEvaluator
+
+    num_items = _ITEM_SHARD_THRESHOLD + 16  # big catalog, tiny interactions
+    rng = np.random.RandomState(0)
+    d, n_users = 8, 8
+    table = jnp.asarray(rng.standard_normal((num_items, d)).astype(np.float32))
+    u_emb = jnp.asarray(rng.standard_normal((n_users, d)).astype(np.float32))
+    params = {"u": u_emb, "q": table}
+
+    class TinyMF:
+        def predict(self, params, users):
+            return params["u"][users] @ params["q"].T
+
+        def eval_embeddings(self, params, users):
+            return params["u"][users], params["q"]
+
+    model = TinyMF()
+    train = {u: sorted(rng.choice(num_items, 5, replace=False).tolist())
+             for u in range(n_users)}
+    test = {u: [int(rng.randint(num_items))] for u in range(n_users)}
+
+    engaged = {}
+    orig = UniEvaluator._make_item_sharded_topk
+
+    def spy(self, K, interpret):
+        engaged["yes"] = True
+        return orig(self, K, interpret)
+
+    monkeypatch.setattr(UniEvaluator, "_make_item_sharded_topk", spy)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    ev_mesh = UniEvaluator(train, test, metric=["Recall", "NDCG"],
+                           top_k=[20], num_items=num_items, mesh=mesh)
+    sharded_params = {
+        "u": jax.device_put(
+            u_emb, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        ),
+        "q": jax.device_put(
+            table,
+            jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec("model", None)
+            ),
+        ),
+    }
+    r_mesh = ev_mesh.evaluate_raw(model.predict, sharded_params)
+    assert engaged.get("yes"), "auto threshold did not engage item sharding"
+
+    ev_single = UniEvaluator(train, test, metric=["Recall", "NDCG"],
+                             top_k=[20], num_items=num_items)
+    r_single = ev_single.evaluate_raw(model.predict, params)
+    np.testing.assert_allclose(r_single, r_mesh, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 @pytest.mark.parametrize(
     "kind_model", [("pairwise", "LightGCN"), ("dense_row", "MultiVAE")]
 )
