@@ -81,8 +81,15 @@ class UniEvaluator:
         num_thread: int = 8,  # thread count for the native host backend
         mesh=None,
         backend: str = "device",
+        item_shard: str = "auto",
     ):
         self.mesh = mesh
+        if item_shard not in ("auto", "on", "off"):
+            raise ValueError(
+                "eval_item_shard must be 'auto', 'on' or 'off', got %r"
+                % (item_shard,)
+            )
+        self._item_shard_flag = item_shard
         self.num_thread = int(num_thread)
         # runtime backend selection, parity with the reference's cpp->python
         # import fallback (evaluator/backend/__init__.py:1-6): 'device' is
@@ -197,12 +204,12 @@ class UniEvaluator:
         """
         import os
 
-        flag = os.environ.get("NEUREC_EVAL_ITEM_SHARD", "auto").lower()
-        if flag in ("1", "on"):
+        env = os.environ.get("NEUREC_EVAL_ITEM_SHARD", "").lower()
+        if env in ("1", "on"):
             return "on"
-        if flag in ("0", "off"):
+        if env in ("0", "off"):
             return "off"
-        return "auto"
+        return self._item_shard_flag
 
     def _make_item_sharded_topk(self, K: int, interpret: bool):
         """Top-K over an item table sharded P('model') on the 2-D mesh.
@@ -575,6 +582,7 @@ class GroupedEvaluator:
         num_thread=8,
         mesh=None,
         backend="device",
+        item_shard="auto",
     ):
         if not isinstance(group_view, list):
             raise TypeError("The type of 'group_view' must be `list`!")
@@ -589,6 +597,7 @@ class GroupedEvaluator:
             num_thread=num_thread,
             mesh=mesh,
             backend=backend,
+            item_shard=item_shard,
         )
         group_list = [0] + group_view
         group_info = [
@@ -640,6 +649,7 @@ class Evaluator:
         num_thread=8,
         mesh=None,
         backend="device",
+        item_shard="auto",
     ):
         if group_view is not None:
             self.evaluator = GroupedEvaluator(
@@ -654,6 +664,7 @@ class Evaluator:
                 num_thread=num_thread,
                 mesh=mesh,
                 backend=backend,
+                item_shard=item_shard,
             )
         else:
             self.evaluator = UniEvaluator(
@@ -667,6 +678,7 @@ class Evaluator:
                 num_thread=num_thread,
                 mesh=mesh,
                 backend=backend,
+                item_shard=item_shard,
             )
 
     @classmethod
@@ -683,6 +695,7 @@ class Evaluator:
             num_thread=config.get("num_thread", 8),
             mesh=mesh,
             backend=config.get("eval_backend", "device"),
+            item_shard=str(config.get("eval_item_shard", "auto")).lower(),
         )
 
     def metrics_info(self) -> str:
