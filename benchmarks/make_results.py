@@ -337,8 +337,11 @@ speedup ratio is the stable quantity.
 
 `python bench.py` prints the canonical one-line JSON with current numbers
 (including MFU and HBM-bandwidth utilization against chip peak);
-`python benchmarks/scale_bench.py` measures the gowalla-class large-graph
-paths (COO segment-sum SpMM, 40k-item catalog eval).
+`python benchmarks/scale_bench.py` measures synthetic large-graph scaling.
+At 10x the north-star edge count (80k x 80k graph, 6.35M bipartite edges,
+batch 8192) the Pallas SpMM train step scales LINEARLY in edges: 69.5k
+examples/s with per-SpMM time 17x gowalla's for 16.9x the edges
+(`scale10x.json`) — no super-linear cliff through at least 160k nodes.
 
 ## North-star scale run — LightGCN on real gowalla (BASELINE.md)
 

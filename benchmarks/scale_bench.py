@@ -29,6 +29,7 @@ def main():
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--embed", type=int, default=64)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--batch_size", type=int, default=2048)
     args = ap.parse_args()
 
     import jax
@@ -60,7 +61,7 @@ def main():
         {
             "recommender": "LightGCN", "lr": 0.01, "reg": 1e-3,
             "embed_size": args.embed, "n_layers": args.layers,
-            "batch_size": 2048, "epochs": args.epochs, "learner": "adam",
+            "batch_size": args.batch_size, "epochs": args.epochs, "learner": "adam",
             "adj_type": "pre", "verbose": 10 ** 9,
             "metric": ["Recall", "NDCG"], "topk": [20], "group_view": None,
             "test_batch_size": 128,
@@ -110,6 +111,7 @@ def main():
     print(json.dumps({
         "metric": "LightGCN synthetic-gowalla throughput",
         "users": args.users, "items": args.items, "nnz": int(train.nnz),
+        "batch_size": args.batch_size,
         "layers": args.layers,
         "train_examples_per_s": round(train_tput, 1),
         "epoch_ms": round(dt * 1000, 1),
