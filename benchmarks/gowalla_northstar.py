@@ -29,6 +29,13 @@ OUT = os.path.join(REPO, "benchmarks", "gowalla_northstar.json")
 SRC = "/root/reference/dataset/gowalla.test"
 LOCAL = os.path.join(REPO, "dataset", "gowalla.rating")
 
+# LightGCN-paper gowalla hyperparameters, shared with gowalla_quality.py so
+# the two scripts provably run the same experiment
+LIGHTGCN_GOWALLA_ARGS = [
+    "--lr=0.001", "--reg=1e-4", "--embed_size=64", "--n_layers=3",
+    "--batch_size=2048", "--adj_type=pre",
+]
+
 
 def ensure_local_copy():
     if not os.path.exists(LOCAL):
@@ -72,7 +79,8 @@ def main():
             "--splitter=ratio",
             "--ratio=0.8",
             "--by_time=False",
-            # LightGCN-paper gowalla hyperparameters
+            # LightGCN-paper gowalla hyperparameters (LIGHTGCN_GOWALLA_ARGS
+            # is the canonical set; the CLI flags vary them for sweeps)
             "--lr=%s" % args.lr,
             "--reg=1e-4",
             "--embed_size=64",

@@ -21,7 +21,10 @@ OUT = os.path.join(REPO, "benchmarks", "gowalla_quality.json")
 if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
-from benchmarks.gowalla_northstar import ensure_local_copy  # noqa: E402
+from benchmarks.gowalla_northstar import (  # noqa: E402
+    LIGHTGCN_GOWALLA_ARGS,
+    ensure_local_copy,
+)
 from benchmarks.quality_sweep import (  # noqa: E402
     PER_MODEL_TIMEOUT_S,
     drive_models,
@@ -48,9 +51,9 @@ MODELS = {
     "MF": (200, []),
     "MultiVAE": (100, []),
     "WRMF": (15, []),
-    "LightGCN": (250, ["--lr=0.001", "--reg=1e-4", "--embed_size=64",
-                       "--n_layers=3", "--batch_size=2048",
-                       "--adj_type=pre"]),
+    # the north-star configuration (shared constant => provably the same
+    # experiment as gowalla_northstar.py; NOT the ml-100k shipped conf)
+    "LightGCN": (250, LIGHTGCN_GOWALLA_ARGS),
 }
 
 

@@ -88,16 +88,20 @@ def sweep_table(sweep):
 def gowalla_quality_table(gq):
     if not gq:
         return "(run `python benchmarks/gowalla_quality.py` to record)"
+    from benchmarks.gowalla_quality import MODELS as _GOWALLA_MODELS
+
     lines = [
-        "| Model | epochs | Recall@20 | NDCG@20 | MRR@20 |",
-        "|---|---|---|---|---|",
+        "| Model | epochs | Recall@20 | NDCG@20 | MRR@20 | overrides |",
+        "|---|---|---|---|---|---|",
     ]
     for name, r in gq.items():
         if "error" in r:
             continue
+        overrides = " ".join(_GOWALLA_MODELS.get(name, (0, []))[1]) or "—"
         lines.append(
-            "| %s | %d | %.4f | %.4f | %.4f |"
-            % (name, r["epochs"], r["Recall@20"], r["NDCG@20"], r["MRR@20"])
+            "| %s | %d | %.4f | %.4f | %.4f | %s |"
+            % (name, r["epochs"], r["Recall@20"], r["NDCG@20"], r["MRR@20"],
+               overrides)
         )
     return "\n".join(lines)
 
@@ -305,9 +309,12 @@ charges 20-300s per program); steady-state epoch times are a few ms.
 
 ### Second dataset — gowalla (29,858 users x 38,546 items)
 
-Shipped-conf flagships on the reference's gowalla data, per-user 80/20
-ratio split (`benchmarks/gowalla_quality.py`; the LightGCN row matches the
-dedicated north-star curve, an internal consistency check):
+Flagships on the reference's gowalla data, per-user 80/20 ratio split
+(`benchmarks/gowalla_quality.py`). MF/MultiVAE/WRMF run their shipped
+ml-100k confs; LightGCN runs the LightGCN-paper gowalla hyperparameters
+(the overrides column — the identical shared config as
+`gowalla_northstar.py`, so its row matching the dedicated north-star
+curve is a real internal consistency check):
 
 %s
 

@@ -43,12 +43,22 @@ MODELS = {
 LOO_ARGS = ["--splitter=loo", "--by_time=True"]
 PER_MODEL_TIMEOUT_S = 2700
 
+# named budget/config variants recorded in the JSON as evidence rows
+# (e.g. the GRU4Rec plateau proof) — "tag" -> (base model, epochs, extra)
+VARIANTS = {
+    "GRU4Rec@300ep": ("GRU4Rec", 300, ["--loss=bpr", "--lr=0.001"]),
+    "GRU4Rec@shipped1000": ("GRU4Rec", 1000, []),
+}
+
 
 def run_one(name: str) -> dict:
     from benchmarks.quality_sweep import run_model
 
-    epochs, extra = MODELS[name]
-    rec = run_model(name, epochs, extra, extra_lib_args=LOO_ARGS)
+    if name in VARIANTS:
+        model_name, epochs, extra = VARIANTS[name]
+    else:
+        model_name, (epochs, extra) = name, MODELS[name]
+    rec = run_model(model_name, epochs, extra, extra_lib_args=LOO_ARGS)
     rec["protocol"] = "loo by_time (last item per user held out)"
     rec["overrides"] = extra
     return rec

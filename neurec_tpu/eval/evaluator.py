@@ -84,9 +84,14 @@ class UniEvaluator:
         item_shard: str = "auto",
     ):
         self.mesh = mesh
+        # accept the env var's 1/0 spellings too (a properties file value
+        # like eval_item_shard=1 coerces to int 1 -> str '1' upstream)
+        item_shard = {
+            "1": "on", "true": "on", "0": "off", "false": "off",
+        }.get(str(item_shard).lower(), str(item_shard).lower())
         if item_shard not in ("auto", "on", "off"):
             raise ValueError(
-                "eval_item_shard must be 'auto', 'on' or 'off', got %r"
+                "eval_item_shard must be 'auto', 'on', 'off', 1 or 0, got %r"
                 % (item_shard,)
             )
         self._item_shard_flag = item_shard
@@ -290,6 +295,7 @@ class UniEvaluator:
             interpret or jax.devices()[0].platform.lower() != "cpu"
         )
         item_shard_topk = None
+        mode = self._item_shard_mode()
         if use_pallas:
             from neurec_tpu.ops.pallas_kernels import masked_scores
 
@@ -303,7 +309,6 @@ class UniEvaluator:
                 if self.mesh is not None
                 else {}
             )
-            mode = self._item_shard_mode()
             if (
                 mesh_axes.get("model", 1) > 1
                 and "data" in mesh_axes
@@ -313,6 +318,15 @@ class UniEvaluator:
                 )
             ):
                 item_shard_topk = self._make_item_sharded_topk(K, interpret)
+        if mode == "on" and item_shard_topk is None:
+            # explicit request that cannot engage — say so instead of
+            # silently running the replicated-table (or scatter-mask) path
+            print(
+                "eval_item_shard=on ignored: requires a mesh with "
+                "'data' and 'model' (>1) axes and a model exposing "
+                "eval_embeddings (factorized scores); falling back to the "
+                "replicated evaluator path"
+            )
 
             if self.mesh is not None and self.mesh.size > 1:
                 # pallas_call is not SPMD-partitionable by GSPMD, so under a
