@@ -64,7 +64,7 @@ def main():
             "batch_size": args.batch_size, "epochs": args.epochs, "learner": "adam",
             "adj_type": "pre", "verbose": 10 ** 9,
             "metric": ["Recall", "NDCG"], "topk": [20], "group_view": None,
-            "test_batch_size": 128,
+            "test_batch_size": 1024,
         }
     )
 
