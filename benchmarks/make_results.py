@@ -345,10 +345,12 @@ speedup ratio is the stable quantity.
 `python bench.py` prints the canonical one-line JSON with current numbers
 (including MFU and HBM-bandwidth utilization against chip peak);
 `python benchmarks/scale_bench.py` measures synthetic large-graph scaling.
-At 10x the north-star edge count (80k x 80k graph, 6.35M bipartite edges,
-batch 8192) the Pallas SpMM train step scales LINEARLY in edges: 69.5k
-examples/s with per-SpMM time 17x gowalla's for 16.9x the edges
-(`scale10x.json`) — no super-linear cliff through at least 160k nodes.
+The Pallas SpMM train step scales LINEARLY in edge count across an order
+of magnitude: per-SpMM time grows 6.3x for 6.3x the edges (30k x 40k
+graph, 2.37M bipartite edges, 186k examples/s — `scale_mid.json`) and 17x
+for 16.9x the edges (80k x 80k, 6.35M edges, 69.5k examples/s —
+`scale10x.json`), both at batch 8192 vs the 376k-edge gowalla record — no
+super-linear cliff through at least 160k nodes.
 
 ## North-star scale run — LightGCN on real gowalla (BASELINE.md)
 
