@@ -149,3 +149,51 @@ def test_wrmf_solve_matches_reference_closed_form():
         WRMF._solve_side(model, jnp.asarray(Y), jnp.asarray(rows))
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_transrec_scores_match_reference_math():
+    """TransRec mirrors the reference's train-vs-eval convention: training
+    score = b_i - ||u+g+prev-i||^2 (squared, TransRec.py:69-79) while eval
+    uses the unsquared euclidean norm (tf.norm, TransRec.py:18-19,105-110).
+    Both transcribed literally in numpy."""
+    import types
+
+    from neurec_tpu.models.sequential.transrec import TransRec
+
+    rng = np.random.RandomState(4)
+    U, I, d, B = 6, 9, 5, 10
+    params = {
+        "user_emb": jnp.asarray(rng.standard_normal((U, d)).astype(np.float32)),
+        "item_emb": jnp.asarray(rng.standard_normal((I, d)).astype(np.float32)),
+        "item_bias": jnp.asarray(rng.standard_normal(I).astype(np.float32)),
+        "global_emb": jnp.asarray(rng.standard_normal((1, d)).astype(np.float32)),
+    }
+    users = rng.randint(0, U, B).astype(np.int32)
+    recent = rng.randint(0, I, B).astype(np.int32)
+    items = rng.randint(0, I, B).astype(np.int32)
+
+    # training score (squared distance)
+    model = types.SimpleNamespace(embedding_size=d)
+    y, _ = TransRec._score(
+        model, params, jnp.asarray(users), jnp.asarray(recent),
+        jnp.asarray(items),
+    )
+    P = np.asarray(params["user_emb"]); Q = np.asarray(params["item_emb"])
+    g = np.asarray(params["global_emb"])[0]; b = np.asarray(params["item_bias"])
+    vec = P[users] + g + Q[recent] - Q[items]
+    want_train = b[items] - np.sum(vec * vec, axis=1)
+    np.testing.assert_allclose(np.asarray(y), want_train, rtol=1e-5)
+
+    # eval score (euclidean norm over the full catalog); _recent_items is
+    # a PER-USER table (num_users, high_order) — predict takes its last col
+    recent_table = rng.randint(0, I, (U, 1)).astype(np.int32)
+    model_e = types.SimpleNamespace(_recent_items=recent_table)
+    scores = np.asarray(
+        TransRec.predict(model_e, params, jnp.asarray(users))
+    )
+    pre = P[users] + g + Q[recent_table[users, -1]]
+    want_eval = b[None, :] - np.sqrt(
+        np.maximum(np.sum((pre[:, None, :] - Q[None, :, :]) ** 2, axis=2),
+                   1e-12)
+    )
+    np.testing.assert_allclose(scores, want_eval, rtol=1e-4, atol=1e-5)
