@@ -39,6 +39,10 @@ import numpy as np
 
 from neurec_tpu.ops.metrics import METRIC_INDEX, METRIC_NAMES, all_metrics, hit_matrix
 
+import logging as _pylogging
+
+_log = _pylogging.getLogger("neurec_tpu.eval")
+
 PredictFn = Callable[[object, jnp.ndarray], jnp.ndarray]
 
 # catalog size at which eval auto-switches from the replicated-item-table
@@ -318,17 +322,12 @@ class UniEvaluator:
                 )
             ):
                 item_shard_topk = self._make_item_sharded_topk(K, interpret)
-        if mode == "on" and item_shard_topk is None:
-            # explicit request that cannot engage — say so instead of
-            # silently running the replicated-table (or scatter-mask) path
-            print(
-                "eval_item_shard=on ignored: requires a mesh with "
-                "'data' and 'model' (>1) axes and a model exposing "
-                "eval_embeddings (factorized scores); falling back to the "
-                "replicated evaluator path"
-            )
-
-            if self.mesh is not None and self.mesh.size > 1:
+            if (
+                item_shard_topk is None
+                and self.mesh is not None
+                and self.mesh.size > 1
+                and "data" in self.mesh.axis_names
+            ):
                 # pallas_call is not SPMD-partitionable by GSPMD, so under a
                 # multi-chip mesh the kernel is manually partitioned with
                 # shard_map: each device scores+masks its own batch slice
@@ -341,14 +340,23 @@ class UniEvaluator:
                 from neurec_tpu.ops.graph import _shard_map
 
                 shard_map, _rep_kw = _shard_map()
-                if "data" in self.mesh.axis_names:
-                    masked_fn = shard_map(
-                        masked_fn,
-                        mesh=self.mesh,
-                        in_specs=(P("data"), P(), P("data")),
-                        out_specs=P("data"),
-                        **_rep_kw,
-                    )
+                masked_fn = shard_map(
+                    masked_fn,
+                    mesh=self.mesh,
+                    in_specs=(P("data"), P(), P("data")),
+                    out_specs=P("data"),
+                    **_rep_kw,
+                )
+        if mode == "on" and item_shard_topk is None:
+            # explicit request that cannot engage — say so instead of
+            # silently running the replicated-table (or scatter-mask) path
+            if jax.process_index() == 0:
+                _log.warning(
+                    "eval_item_shard=on ignored: requires a mesh with "
+                    "'data' and 'model' (>1) axes and a model exposing "
+                    "eval_embeddings (factorized scores); falling back to "
+                    "the replicated evaluator path"
+                )
 
         def full_catalog_step(params, users, train_rows, test_rows, test_lens, valid):
             if use_pallas and item_shard_topk is not None:

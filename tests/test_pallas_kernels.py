@@ -128,6 +128,73 @@ def test_evaluator_pallas_path_matches_xla(tmp_path, monkeypatch):
     assert got == want
 
 
+def test_evaluator_pallas_mesh_actually_partitions(tmp_path, monkeypatch):
+    """Regression test for d986820: with the DEFAULT item-shard mode (auto,
+    sub-threshold catalog) on a multi-device mesh, the Pallas masked-scores
+    kernel must be shard_map-partitioned over the 'data' axis — i.e. traced
+    with the per-device batch slice, not the full batch. Numerics cannot
+    catch this (replication preserves values); traced shapes can."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from neurec_tpu.ops import pallas_kernels
+    from neurec_tpu.parallel.mesh import make_mesh
+
+    recorded = []
+    real = pallas_kernels.masked_scores
+
+    def spy(u_vecs, item_table, train_rows, **kw):
+        recorded.append(tuple(u_vecs.shape))
+        return real(u_vecs, item_table, train_rows, **kw)
+
+    monkeypatch.setattr(pallas_kernels, "masked_scores", spy)
+    monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("NEUREC_EVAL_ITEM_SHARD", raising=False)
+
+    n_data = 4
+    mesh = make_mesh(n_data=n_data, n_model=2)
+    model, params, ev = _mf_setup(tmp_path, mesh=mesh)
+    uni = ev.evaluator
+    assert uni._item_shard_mode() == "auto"
+    assert uni.num_items < 100_000
+    ev.evaluate(model.predict, params)
+
+    # replicate evaluate_raw's batch-size computation to get the full B
+    full_B = min(uni.batch_size, max(len(uni.test_users), 1))
+    full_B = -(-full_B // n_data) * n_data
+    assert recorded, "Pallas eval path did not engage"
+    assert all(s[0] == full_B // n_data for s in recorded), (
+        "masked_scores traced with batch dims %r; expected the per-device "
+        "slice %d of full batch %d — the kernel is running unpartitioned "
+        "under the mesh" % (sorted({s[0] for s in recorded}), full_B // n_data, full_B)
+    )
+
+
+def test_eval_item_shard_on_nonfactorized_fallback(tmp_path, monkeypatch):
+    """eval_item_shard=on with a model lacking eval_embeddings on a
+    multi-device mesh must warn and fall back, not crash (ADVICE r3:
+    UnboundLocalError from the misplaced shard_map block reaching
+    ``masked_fn`` with masked_fn never defined)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from neurec_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.delenv("NEUREC_PALLAS_INTERPRET", raising=False)
+    monkeypatch.setenv("NEUREC_EVAL_ITEM_SHARD", "1")
+    mesh = make_mesh(n_data=4, n_model=2)
+    model, params, ev = _mf_setup(tmp_path, mesh=mesh)
+    monkeypatch.setattr(model, "eval_embeddings", None)
+    out = ev.evaluate(model.predict, params)  # must not raise
+    assert len(out.split("\t")) == 10
+
+
 def test_evaluator_pallas_path_under_mesh(tmp_path, monkeypatch):
     """The shard_map-partitioned Pallas path on the 8-device mesh must match
     the single-device XLA path."""
