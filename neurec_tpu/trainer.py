@@ -112,6 +112,7 @@ class Trainer:
         self.mesh = mesh
         self.seed = seed
         self.logger = logger or run_logger(config, dataset.dataset_name)
+        self._dp_warned = set()
         # --trace_dir=<dir> captures a jax.profiler device trace of the run
         # (TensorBoard/Perfetto); the reference's only tracing is @timer.
         get_raw = getattr(config, "get_raw", config.get)
@@ -173,16 +174,26 @@ class Trainer:
         out = []
         n_data = self.mesh.shape["data"] if self.mesh is not None else 1
         for x in arrays:
-            if (
-                n_data > 1
-                and hasattr(x, "ndim")
-                and x.ndim >= 1
-                and x.shape[0] % n_data == 0
-            ):
-                spec = P(*(("data",) + (None,) * (x.ndim - 1)))
-                x = jax.lax.with_sharding_constraint(
-                    x, NamedSharding(self.mesh, spec)
-                )
+            if n_data > 1 and hasattr(x, "ndim") and x.ndim >= 1:
+                if x.shape[0] % n_data == 0:
+                    spec = P(*(("data",) + (None,) * (x.ndim - 1)))
+                    x = jax.lax.with_sharding_constraint(
+                        x, NamedSharding(self.mesh, spec)
+                    )
+                else:
+                    # a silent no-op here loses guaranteed DP on a pod —
+                    # say so once per (dim, axis) (runs at trace time)
+                    key = (int(x.shape[0]), int(n_data))
+                    if key not in self._dp_warned:
+                        self._dp_warned.add(key)
+                        if jax.process_index() == 0:
+                            self.logger.warning(
+                                "dp_constrain: batch leading dim %d does not "
+                                "divide the 'data' mesh axis (%d); data "
+                                "parallelism for this tensor is left to GSPMD "
+                                "propagation. Pick a batch_size divisible by "
+                                "the 'data' axis to guarantee DP." % key
+                            )
             out.append(x)
         return tuple(out) if len(out) != 1 else out[0]
 
