@@ -286,14 +286,20 @@ def perf_model(dataset, train_tput, lightgcn_tput, mf_batch, mf_dim,
     spmm_flops = 2 * n_nodes * n_nodes * lg_dim
     step_flops = spmm_flops * lg_layers * 2  # fwd + transposed bwd
     lg_flops_per_s = lightgcn_tput / lg_batch * step_flops
-    lg_mfu = lg_flops_per_s / peak_f32  # dense f32 adjacency matmul
+    # the TPU's DEFAULT matmul precision executes bf16 multiply passes with
+    # f32 accumulate (CLAUDE.md), so the achievable rate for the adjacency
+    # matmul is the bf16 peak — that is the honest MFU denominator; the f32
+    # ratio is kept for cross-round comparability (ADVICE r3)
+    lg_mfu_bf16 = lg_flops_per_s / peak_bf16
+    lg_mfu_f32 = lg_flops_per_s / peak_f32
 
     return {
         "chip": jax.devices()[0].device_kind,
         "mf_hbm_gb_per_s": round(mf_bytes_per_s / 1e9, 1),
         "mf_hbm_util": round(mf_hbm_util, 3),
         "lightgcn_tflops": round(lg_flops_per_s / 1e12, 2),
-        "lightgcn_mfu_f32": round(lg_mfu, 3),
+        "lightgcn_mfu": round(lg_mfu_bf16, 3),
+        "lightgcn_mfu_vs_f32_peak": round(lg_mfu_f32, 3),
     }
 
 

@@ -64,15 +64,36 @@ class SpmmPlan(NamedTuple):
     tile_r: int
 
 
+def _default_tile_chunk():
+    """(tile_r, chunk) defaults, env-overridable for tuning/production.
+
+    (256, 256) won the only reliable measurement — interleaved whole-epoch
+    A/B on the gowalla north star (benchmarks/ab_spmm_epoch.json: 0.820
+    s/epoch vs 0.845 for chunk=512 and 0.948 for chunk=512+pack2, with
+    min==median to 3 digits). Microbenchmark deltas on the shared chip
+    disagreed between runs by up to 13x and are recorded for the
+    attribution probes only (ab_spmm_pack.json).
+    """
+    import os
+
+    return (
+        int(os.environ.get("NEUREC_SPMM_TILE", 256)),
+        int(os.environ.get("NEUREC_SPMM_CHUNK", 256)),
+    )
+
+
 def build_spmm_plan(
     rows: np.ndarray,
     cols: np.ndarray,
     vals: np.ndarray,
     n_rows: int,
-    tile_r: int = 256,
-    chunk: int = 256,
+    tile_r: int = None,
+    chunk: int = None,
 ) -> SpmmPlan:
     """Partition COO edges into per-row-tile chunk lists (numpy, host)."""
+    d_tile, d_chunk = _default_tile_chunk()
+    tile_r = d_tile if tile_r is None else tile_r
+    chunk = d_chunk if chunk is None else chunk
     keep = vals != 0.0
     rows, cols, vals = rows[keep], cols[keep], vals[keep]
     tile = rows // tile_r
@@ -198,6 +219,141 @@ def scatter_arrays(
     return out[:n_rows]
 
 
+def _scatter_kernel_packed(
+    tile_ref, first_ref, rows_ref, vals_ref, g_ref, out_ref, *, pack, d
+):
+    """Packed variant: ``pack`` edges share one 128-lane gathered row.
+
+    A (N, 64) array is physically padded to 128 lanes on TPU (the minor
+    dim always tiles to 128), so the d=64 gathered operand of the plain
+    kernel moves HALF-EMPTY lanes through HBM twice (gather write + kernel
+    read). Packing ``pack`` edges' feature rows side by side restores full
+    lane density: g block is (chunk/pack, pack*d) and the kernel runs
+    ``pack`` selector matmuls against static lane sub-blocks. rows/vals
+    come pre-reordered into parity groups (``rows[:, h::pack]``
+    concatenated along lanes) so each sub-block's selector is a contiguous
+    static lane slice. FLOPs are unchanged (pack matmuls of chunk/pack
+    contraction each).
+    """
+    i = pl.program_id(0)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tile_r = out_ref.shape[0]
+    cpp = g_ref.shape[0]  # chunk // pack
+    g = g_ref[:]
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (tile_r, cpp), 0)
+    acc = None
+    for h in range(pack):
+        # rows/vals are (n_chunks*pack, cpp): parity group h of chunk i
+        # lives at sublane i*pack + h — a lane-sliced (1, cpp) vector from
+        # a (1, chunk) load has an offset layout Mosaic cannot broadcast
+        rows_h = rows_ref[pl.ds(i * pack + h, 1), :]  # (1, cpp)
+        vals_h = vals_ref[pl.ds(i * pack + h, 1), :]
+        sel = jnp.where(rows_h == r_iota, vals_h, 0.0)  # (tile_r, cpp)
+        gh = g[:, h * d : (h + 1) * d]
+        if gh.dtype != jnp.float32:
+            sel = sel.astype(gh.dtype)
+        part = jnp.dot(sel, gh, preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    out_ref[:] += acc
+
+
+def _pack_factor(d: int, chunk: int) -> int:
+    """Edges per 128-lane gathered row (NEUREC_SPMM_PACK=2/4 to opt in).
+
+    Measured OFF by default: the op is bound by the random gather read
+    (benchmarks/ab_spmm_pack.json — the gather+reduce probe alone costs
+    ~90% of the full op), and XLA lowers the pair-index gather the packed
+    path needs WORSE than the plain row gather, so lane-packing the
+    gathered intermediate loses despite halving its physical footprint.
+    Kept for narrow-d cases (d<=32) where the padding waste is 4-8x.
+    """
+    import os
+
+    flag = os.environ.get("NEUREC_SPMM_PACK", "auto")
+    if flag in ("", "auto", "0", "1"):
+        return 1
+    p = int(flag)
+    while p > 1 and chunk % p != 0:
+        p //= 2
+    return max(p, 1)
+
+
+def plan_spmm_packed(
+    plan: SpmmPlan,
+    x: jnp.ndarray,
+    pack: int,
+    interpret: bool = False,
+    compute_dtype=None,
+) -> jnp.ndarray:
+    """A @ x with the lane-packed scatter kernel (``pack`` edges per row).
+
+    The gather is expressed as ``x[cols_pairs].reshape(E/pack, pack*d)``
+    so XLA emits ONE gather whose materialized result is full-lane-density
+    — (E/2, 128) for d=64 bf16 — instead of the physically-padded
+    (E, 128) the plain path writes and re-reads.
+    """
+    if compute_dtype is not None and x.dtype != compute_dtype:
+        x = x.astype(compute_dtype)
+    n_chunks, chunk = plan.rows.shape
+    cpp = chunk // pack
+    d = x.shape[1]
+
+    # host-side parity-group reorder of the plan (cheap numpy, lowered as
+    # closure constants exactly like the plain plan arrays): row i*pack+h
+    # holds parity group h (edges h, h+pack, ...) of chunk i
+    rows_p = np.stack(
+        [plan.rows[:, h::pack] for h in range(pack)], axis=1
+    ).reshape(n_chunks * pack, cpp)
+    vals_p = np.stack(
+        [plan.vals[:, h::pack] for h in range(pack)], axis=1
+    ).reshape(n_chunks * pack, cpp)
+    # one gather, packed result: row j of chunk block = edges j*pack..+pack-1
+    g = x[plan.cols.reshape(-1, pack)].reshape(-1, pack * d)
+
+    n_tiles = -(-plan.n_rows // plan.tile_r)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # rows_p whole-resident
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # vals_p whole-resident
+            pl.BlockSpec(
+                (cpp, pack * d), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (plan.tile_r, d),
+            lambda i, tile_map, first_map: (tile_map[i], 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    import functools
+
+    out = pl.pallas_call(
+        functools.partial(_scatter_kernel_packed, pack=pack, d=d),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * plan.tile_r, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_chunks * chunk * plan.tile_r * d,
+            bytes_accessed=(
+                g.size * g.dtype.itemsize
+                + rows_p.size * 8
+                + n_tiles * plan.tile_r * d * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(plan.chunk_tile, plan.chunk_first, rows_p, vals_p, g)
+    return out[: plan.n_rows]
+
+
 def plan_scatter(
     plan: SpmmPlan, gathered: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
@@ -261,9 +417,19 @@ def plan_spmm(
     ``compute_dtype=jnp.bfloat16`` casts the features BEFORE the gather
     (halving the dominant random-access HBM traffic) and runs the selector
     matmul at the MXU's bf16 rate; accumulation stays f32 in the kernel.
+
+    For d < 128 the lane-packed kernel is used (see
+    :func:`_scatter_kernel_packed`): it removes the physical lane padding
+    of the gathered intermediate, the largest HBM stream of the op.
+    NEUREC_SPMM_PACK=1 forces the plain kernel; =2/4 force a factor.
     """
     if compute_dtype is not None and x.dtype != compute_dtype:
         x = x.astype(compute_dtype)
+    pack = _pack_factor(x.shape[1], plan.rows.shape[1])
+    if pack > 1:
+        return plan_spmm_packed(
+            plan, x, pack, interpret=interpret, compute_dtype=None
+        )
     g = x[plan.cols.reshape(-1)]
     return plan_scatter(plan, g, interpret=interpret)
 

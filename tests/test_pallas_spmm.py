@@ -201,3 +201,21 @@ def test_grad_under_jit():
     np.add.at(A, (rows, cols), vals)
     ref = 2.0 * A.T @ (A.T @ (A @ (A @ x.astype(np.float64))))
     np.testing.assert_allclose(np.asarray(g), ref, rtol=2e-3, atol=2e-2)
+
+
+def test_packed_kernel_matches_numpy():
+    """Lane-packed scatter kernel (opt-in, NEUREC_SPMM_PACK): pack=2 and
+    pack=4 must agree with the numpy oracle including tail chunks."""
+    from neurec_tpu.ops.pallas_spmm import plan_spmm_packed
+
+    rng = np.random.default_rng(7)
+    n_rows, n_src, d = 900, 700, 32
+    rows, cols, vals = _random_coo(rng, n_rows, n_src, 5000)
+    x = rng.standard_normal((n_src, d)).astype(np.float32)
+    ref = _dense_ref(rows, cols, vals, n_rows, n_src, x)
+    plan = build_spmm_plan(rows, cols, vals, n_rows, tile_r=128, chunk=128)
+    for pack in (2, 4):
+        out = np.asarray(
+            plan_spmm_packed(plan, jnp.asarray(x), pack=pack, interpret=True)
+        )
+        np.testing.assert_allclose(out, ref, atol=1e-4)
