@@ -188,6 +188,7 @@ class UniEvaluator:
 
         self._user_pos_index = {int(u): i for i, u in enumerate(self.test_users)}
         self._jit_cache: Dict[int, Callable] = {}
+        self._default_batches = None  # cached full-test-set eval batches
 
     # -- info --------------------------------------------------------------
     def metrics_info(self) -> str:
@@ -469,12 +470,21 @@ class UniEvaluator:
             return self._evaluate_raw_native(predict_fn, params, test_users)
         full_all, cand_all = self._get_steps(predict_fn)
         if test_users is None:
+            # hot path (every verbose-epoch eval): users are the full test
+            # set in construction order, so positions are the identity and
+            # the padded/blocked device arrays are reusable across calls —
+            # the per-call host prep (a len(test_users) Python loop + fresh
+            # device_puts) measurably dented gowalla-scale eval throughput
+            if self._default_batches is not None:
+                return self._finish_eval(full_all, cand_all, params,
+                                         *self._default_batches)
             users = self.test_users
+            positions = np.arange(len(users), dtype=np.int32)
         else:
             users = np.asarray(list(test_users), dtype=np.int32)
-        positions = np.asarray(
-            [self._user_pos_index[int(u)] for u in users], dtype=np.int32
-        )
+            positions = np.asarray(
+                [self._user_pos_index[int(u)] for u in users], dtype=np.int32
+            )
 
         B = min(self.batch_size, max(len(users), 1))
         # under a mesh, user batches are sharded over the 'data' axis — each
@@ -511,6 +521,13 @@ class UniEvaluator:
             users_b = jnp.asarray(users_b)
             sel_b = jnp.asarray(sel_b)
             valid_b = jnp.asarray(valid_b)
+        if test_users is None:
+            self._default_batches = (users_b, sel_b, valid_b)
+        return self._finish_eval(
+            full_all, cand_all, params, users_b, sel_b, valid_b
+        )
+
+    def _finish_eval(self, full_all, cand_all, params, users_b, sel_b, valid_b):
         if self.user_neg_test is not None:
             total, count = cand_all(params, users_b, sel_b, valid_b)
         else:

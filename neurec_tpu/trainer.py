@@ -113,6 +113,12 @@ class Trainer:
         self.seed = seed
         self.logger = logger or run_logger(config, dataset.dataset_name)
         self._dp_warned = set()
+        # lax.scan unroll factor for the built-in sampled epochs: at
+        # tiny-table scale (MF/ml-100k) the XLA while-loop's fixed
+        # per-iteration cost dominates the ~10 us of real work per step;
+        # unrolling amortizes it (epoch-level A/B:
+        # benchmarks/ab_mf_unroll.json). --scan_unroll=N overrides.
+        self.scan_unroll = max(int(config.get("scan_unroll", 1) or 1), 1)
         # --trace_dir=<dir> captures a jax.profiler device trace of the run
         # (TensorBoard/Perfetto); the reference's only tracing is @timer.
         get_raw = getattr(config, "get_raw", config.get)
@@ -282,6 +288,7 @@ class Trainer:
                 step,
                 (params, opt_state),
                 (inst.reshape(steps, B), w.reshape(steps, B), step_keys),
+                unroll=self.scan_unroll,
             )
             return params, opt_state, jnp.sum(losses) / steps
 
