@@ -189,6 +189,7 @@ class UniEvaluator:
         self._user_pos_index = {int(u): i for i, u in enumerate(self.test_users)}
         self._jit_cache: Dict[int, Callable] = {}
         self._default_batches = None  # cached full-test-set eval batches
+        self._bits_table = None  # cached packed train-mask bitmap
 
     # -- info --------------------------------------------------------------
     def metrics_info(self) -> str:
@@ -220,6 +221,57 @@ class UniEvaluator:
         if env in ("0", "off"):
             return "off"
         return self._item_shard_flag
+
+    def _premask_enabled(self) -> bool:
+        """Pre-packed train-mask bitmap for the replicated Pallas path.
+
+        Opt-in (NEUREC_EVAL_PREMASK=1): the bits table removes the
+        per-call (B, I) int8 scatter build and reads 8x fewer mask bytes,
+        but the in-kernel bit expansion costs about what the smaller read
+        saves — measured ZERO net production gain at gowalla scale
+        (129.5k vs 129.0k users/s, benchmarks/eval_premask_ab.json),
+        while adding a one-time ~1s bits build and n_test*I/8 bytes of
+        HBM. Kept for memory-pressure scenarios (the int8 mask build's
+        transient (B, I) buffers) and as the base for a future fused
+        top-K pass; results are bit-exact either way (tested).
+        """
+        import os
+
+        flag = os.environ.get("NEUREC_EVAL_PREMASK", "")
+        if flag not in ("1", "on"):
+            return False
+        i_p = self.num_items + ((-self.num_items) % 1024)
+        bytes_needed = len(self.test_users) * (i_p // 8)
+        return bytes_needed <= 512 * 1024 * 1024
+
+    def _get_bits_table(self):
+        """(n_test, I_p/8) uint8 packed train masks, position-aligned;
+        built on device once per evaluator (chunked) and cached."""
+        if self._bits_table is None:
+            from neurec_tpu.ops.pallas_kernels import pack_train_bits
+
+            chunk = 4096
+            n = len(self.test_users)
+            pack = jax.jit(
+                lambda rows: pack_train_bits(rows, self.num_items)
+            )
+            parts = []
+            for lo in range(0, n, chunk):
+                sel = jnp.asarray(
+                    self.test_users[lo : min(lo + chunk, n)].astype(np.int32)
+                )
+                rows = self._train_rows[sel]
+                if rows.shape[0] < chunk and lo > 0:
+                    rows = jnp.pad(
+                        rows,
+                        ((0, chunk - rows.shape[0]), (0, 0)),
+                        constant_values=self.num_items,
+                    )
+                parts.append(pack(rows)[: min(chunk, n - lo)])
+            self._bits_table = (
+                jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            )
+        return self._bits_table
 
     def _make_item_sharded_topk(self, K: int, interpret: bool):
         """Top-K over an item table sharded P('model') on the 2-D mesh.
@@ -300,14 +352,10 @@ class UniEvaluator:
             interpret or jax.devices()[0].platform.lower() != "cpu"
         )
         item_shard_topk = None
+        use_bits = False
         mode = self._item_shard_mode()
         if use_pallas:
-            from neurec_tpu.ops.pallas_kernels import masked_scores
-
-            def masked_fn(u_vecs, item_table, train_rows):
-                return masked_scores(
-                    u_vecs, item_table, train_rows, interpret=interpret
-                )
+            from neurec_tpu.ops import pallas_kernels
 
             mesh_axes = (
                 dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
@@ -323,6 +371,24 @@ class UniEvaluator:
                 )
             ):
                 item_shard_topk = self._make_item_sharded_topk(K, interpret)
+
+            use_bits = item_shard_topk is None and self._premask_enabled()
+            if use_bits:
+                # per-eval-user train masks are static: pre-packed bitmask
+                # (pack_train_bits) instead of a per-call (B, I) int8
+                # scatter build — ~15% off the score+mask stage at gowalla
+                # scale (benchmarks/eval_attrib2.json)
+                def masked_fn(u_vecs, item_table, bits):
+                    return pallas_kernels.masked_scores_bits(
+                        u_vecs, item_table, bits, interpret=interpret
+                    )
+
+            else:
+                def masked_fn(u_vecs, item_table, train_rows):
+                    return pallas_kernels.masked_scores(
+                        u_vecs, item_table, train_rows, interpret=interpret
+                    )
+
             if (
                 item_shard_topk is None
                 and self.mesh is not None
@@ -359,13 +425,17 @@ class UniEvaluator:
                     "the replicated evaluator path"
                 )
 
-        def full_catalog_step(params, users, train_rows, test_rows, test_lens, valid):
+        def full_catalog_step(
+            params, users, mask_arg, test_rows, test_lens, valid
+        ):
+            # mask_arg: pre-packed bits rows when use_bits, else padded
+            # sorted train rows
             if use_pallas and item_shard_topk is not None:
                 u_vecs, item_table = factorized(params, users)
                 topk = item_shard_topk(
                     u_vecs.astype(jnp.float32),
                     item_table.astype(jnp.float32),
-                    train_rows,
+                    mask_arg,
                 )
             else:
                 if use_pallas:
@@ -373,7 +443,7 @@ class UniEvaluator:
                     masked = masked_fn(
                         u_vecs.astype(jnp.float32),
                         item_table.astype(jnp.float32),
-                        train_rows,
+                        mask_arg,
                     )
                     B = masked.shape[0]
                 else:
@@ -382,7 +452,7 @@ class UniEvaluator:
                     ext = jnp.concatenate(
                         [scores, jnp.zeros((B, 1), jnp.float32)], axis=1
                     )
-                    ext = ext.at[jnp.arange(B)[:, None], train_rows].set(-jnp.inf)
+                    ext = ext.at[jnp.arange(B)[:, None], mask_arg].set(-jnp.inf)
                     masked = ext[:, :num_items]
                 _, topk = jax.lax.top_k(masked, K)
             hits = hit_matrix(topk, test_rows, test_lens)
@@ -409,14 +479,21 @@ class UniEvaluator:
         # the whole evaluation — every batch — as ONE device program:
         # lax.scan over (n_batches, B) position blocks, accumulating the
         # metric sums on device, so an eval pass is a single dispatch.
-        def full_catalog_all(params, users_b, sel_b, valid_b):
+        def full_catalog_all(params, users_b, sel_b, valid_b, bits_table):
+            # bits_table rides as a jit ARGUMENT: a device-array closure
+            # constant is fetched host-side at lowering and shipped with
+            # the program to the remote compile service (HTTP 413 at
+            # gowalla scale)
             def body(carry, xs):
                 total, count = carry
                 users, sel, valid = xs
+                mask_arg = (
+                    bits_table[sel] if use_bits else self._train_rows[users]
+                )
                 msum, wsum = full_catalog_step(
                     params,
                     users,
-                    self._train_rows[users],
+                    mask_arg,
                     self._test_rows[sel],
                     self._test_lens[sel],
                     valid,
@@ -429,7 +506,7 @@ class UniEvaluator:
             )
             return total, count
 
-        def candidate_all(params, users_b, sel_b, valid_b):
+        def candidate_all(params, users_b, sel_b, valid_b, bits_table):
             def body(carry, xs):
                 total, count = carry
                 users, sel, valid = xs
@@ -444,7 +521,7 @@ class UniEvaluator:
             )
             return total, count
 
-        return jax.jit(full_catalog_all), jax.jit(candidate_all)
+        return jax.jit(full_catalog_all), jax.jit(candidate_all), use_bits
 
     def _get_steps(self, predict_fn: PredictFn):
         # bound methods are re-created on every attribute access, so key on
@@ -468,7 +545,12 @@ class UniEvaluator:
         """Mean per-user metric matrix, shape (metrics_num, len(top_show))."""
         if self.backend == "native":
             return self._evaluate_raw_native(predict_fn, params, test_users)
-        full_all, cand_all = self._get_steps(predict_fn)
+        full_all, cand_all, needs_bits = self._get_steps(predict_fn)
+        bits = (
+            self._get_bits_table()
+            if needs_bits
+            else jnp.zeros((1, 1), jnp.uint8)
+        )
         if test_users is None:
             # hot path (every verbose-epoch eval): users are the full test
             # set in construction order, so positions are the identity and
@@ -477,7 +559,7 @@ class UniEvaluator:
             # device_puts) measurably dented gowalla-scale eval throughput
             if self._default_batches is not None:
                 return self._finish_eval(full_all, cand_all, params,
-                                         *self._default_batches)
+                                         *self._default_batches, bits)
             users = self.test_users
             positions = np.arange(len(users), dtype=np.int32)
         else:
@@ -524,14 +606,16 @@ class UniEvaluator:
         if test_users is None:
             self._default_batches = (users_b, sel_b, valid_b)
         return self._finish_eval(
-            full_all, cand_all, params, users_b, sel_b, valid_b
+            full_all, cand_all, params, users_b, sel_b, valid_b, bits
         )
 
-    def _finish_eval(self, full_all, cand_all, params, users_b, sel_b, valid_b):
+    def _finish_eval(
+        self, full_all, cand_all, params, users_b, sel_b, valid_b, bits
+    ):
         if self.user_neg_test is not None:
-            total, count = cand_all(params, users_b, sel_b, valid_b)
+            total, count = cand_all(params, users_b, sel_b, valid_b, bits)
         else:
-            total, count = full_all(params, users_b, sel_b, valid_b)
+            total, count = full_all(params, users_b, sel_b, valid_b, bits)
 
         mean = (
             np.asarray(total, dtype=np.float64) / max(float(count), 1.0)

@@ -144,13 +144,22 @@ def test_evaluator_pallas_mesh_actually_partitions(tmp_path, monkeypatch):
     from neurec_tpu.parallel.mesh import make_mesh
 
     recorded = []
-    real = pallas_kernels.masked_scores
+    real_bits = pallas_kernels.masked_scores_bits
+    real_rows = pallas_kernels.masked_scores
 
-    def spy(u_vecs, item_table, train_rows, **kw):
+    def spy_bits(u_vecs, item_table, bits, **kw):
         recorded.append(tuple(u_vecs.shape))
-        return real(u_vecs, item_table, train_rows, **kw)
+        return real_bits(u_vecs, item_table, bits, **kw)
 
-    monkeypatch.setattr(pallas_kernels, "masked_scores", spy)
+    def spy_rows(u_vecs, item_table, train_rows, **kw):
+        recorded.append(tuple(u_vecs.shape))
+        return real_rows(u_vecs, item_table, train_rows, **kw)
+
+    # the default replicated path uses the pre-packed bits kernel; spy on
+    # both so the test guards the shard_map wrap regardless of which
+    # masking variant is active
+    monkeypatch.setattr(pallas_kernels, "masked_scores_bits", spy_bits)
+    monkeypatch.setattr(pallas_kernels, "masked_scores", spy_rows)
     monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
     monkeypatch.delenv("NEUREC_EVAL_ITEM_SHARD", raising=False)
 
@@ -221,3 +230,51 @@ def test_evaluator_pallas_path_under_mesh(tmp_path, monkeypatch):
         [float(x) for x in want.split("\t")],
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_masked_scores_bits_matches_rows_kernel():
+    """Pre-packed bitmask kernel must reproduce the rows kernel bit-exactly
+    (same scores, same -inf placement), including tail blocks."""
+    import jax.numpy as jnp
+
+    from neurec_tpu.ops.pallas_kernels import (
+        masked_scores,
+        masked_scores_bits,
+        pack_train_bits,
+    )
+
+    rng = np.random.RandomState(5)
+    B, I, d, L = 16, 1200, 32, 60
+    u = rng.randn(B, d).astype(np.float32)
+    items = rng.randn(I, d).astype(np.float32)
+    rows = np.full((B, L), I, dtype=np.int32)
+    for b in range(B):
+        n = rng.randint(1, L)
+        rows[b, :n] = np.sort(rng.choice(I, size=n, replace=False))
+
+    want = np.asarray(
+        masked_scores(jnp.asarray(u), jnp.asarray(items), jnp.asarray(rows),
+                      interpret=True)
+    )
+    bits = pack_train_bits(jnp.asarray(rows), I)
+    got = np.asarray(
+        masked_scores_bits(jnp.asarray(u), jnp.asarray(items), bits,
+                           interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+
+
+def test_evaluator_premask_matches_scatter_path(tmp_path, monkeypatch):
+    """The evaluator's pre-packed-bits path (default) must reproduce the
+    per-call scatter-mask path's result string exactly."""
+    monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("NEUREC_EVAL_PREMASK", raising=False)
+    model, params, ev_rows = _mf_setup(tmp_path)
+    want = ev_rows.evaluate(model.predict, params)
+    assert not ev_rows.evaluator._get_steps(model.predict)[2]
+
+    monkeypatch.setenv("NEUREC_EVAL_PREMASK", "1")
+    _, _, ev_bits = _mf_setup(tmp_path)
+    got = ev_bits.evaluate(model.predict, params)
+    assert ev_bits.evaluator._get_steps(model.predict)[2]
+    assert got == want
