@@ -202,6 +202,15 @@ class Dataset:
                 user_min=config["user_min"],
                 item_min=config["item_min"],
             )
+            if len(filtered) == 0:
+                # without this, the failure surfaces later as an opaque
+                # "cannot convert float NaN to integer" from the id remap
+                raise ValueError(
+                    "user_min=%s/item_min=%s filtered out all %d "
+                    "interactions of %s.rating — relax the thresholds"
+                    % (config["user_min"], config["item_min"],
+                       len(all_data), os.path.basename(ori_prefix))
+                )
             if splitter == "ratio":
                 train_data, test_data = split_by_ratio(
                     filtered, ratio=config["ratio"], by_time=by_time, seed=self._seed

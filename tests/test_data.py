@@ -207,3 +207,18 @@ def test_given_splitter(tmp_path):
     ds2 = Dataset(conf)
     assert (ds2.train_matrix != ds.train_matrix).nnz == 0
     assert (ds2.test_matrix != ds.test_matrix).nnz == 0
+
+
+def test_overfiltered_dataset_raises_clear_error(tmp_path):
+    """user_min/item_min that drop every interaction must fail with an
+    actionable message, not a NaN-to-int crash from the id remap."""
+    import pytest
+
+    from neurec_tpu.data.dataset import Dataset
+    from tests.helpers import make_config, make_synthetic_dataset
+
+    make_synthetic_dataset(tmp_path, num_users=10, num_items=20,
+                           min_items=2, max_items=4)
+    conf = make_config(tmp_path, user_min="1000", item_min="1000")
+    with pytest.raises(ValueError, match="filtered out all"):
+        Dataset(conf)
