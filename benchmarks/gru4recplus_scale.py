@@ -159,6 +159,10 @@ def main():
     ap.add_argument("--eval-every", type=int, default=10)
     ap.add_argument("--num-items", type=int, default=25000)
     ap.add_argument("--num-users", type=int, default=6000)
+    ap.add_argument("--gru-lr", type=float, default=0.001)
+    ap.add_argument("--plus-lr", type=float, default=0.01,
+                    help="shipped conf is 0.01; the bpr_max trajectory is "
+                    "unstable there at 25k items — sweepable")
     args = ap.parse_args()
 
     dataset = make_session_dataset(
@@ -184,8 +188,8 @@ def main():
         "models": {},
     }
     for name, overrides in [
-        ("GRU4Rec", {**common, "loss": "bpr", "lr": 0.001}),
-        ("GRU4RecPlus", {**common, "loss": "bpr_max", "lr": 0.01,
+        ("GRU4Rec", {**common, "loss": "bpr", "lr": args.gru_lr}),
+        ("GRU4RecPlus", {**common, "loss": "bpr_max", "lr": args.plus_lr,
                          "bpr_reg": 1.0, "n_sample": 2048,
                          "sample_alpha": 0.75}),
     ]:
