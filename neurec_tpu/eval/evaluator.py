@@ -222,38 +222,58 @@ class UniEvaluator:
             return "off"
         return self._item_shard_flag
 
-    def _premask_enabled(self) -> bool:
-        """Pre-packed train-mask bitmap for the replicated Pallas path.
+    @property
+    def _items_pad8(self) -> int:
+        """Padded catalog size for bit-plane packing.
 
-        Opt-in (NEUREC_EVAL_PREMASK=1): the bits table removes the
-        per-call (B, I) int8 scatter build and reads 8x fewer mask bytes,
-        but the in-kernel bit expansion costs about what the smaller read
-        saves — measured ZERO net production gain at gowalla scale
-        (129.5k vs 129.0k users/s, benchmarks/eval_premask_ab.json),
-        while adding a one-time ~1s bits build and n_test*I/8 bytes of
-        HBM. Kept for memory-pressure scenarios (the int8 mask build's
-        transient (B, I) buffers) and as the base for a future fused
-        top-K pass; results are bit-exact either way (tested).
+        Rounded to a multiple of 1024 so the packed table's minor dim
+        (I_p/8) is a 128-lane multiple — with an unaligned minor dim the
+        plane-expand reshape stops fusing into the matmul epilogue and
+        the measured gain disappears (TPU pads the minor dim to 128
+        physically either way, so the extra columns are free).
+        """
+        return self.num_items + ((-self.num_items) % 1024)
+
+    def _premask_enabled(self) -> bool:
+        """Pre-packed train-mask bitmap + XLA-fused bit-plane masking.
+
+        DEFAULT for factorized models while the packed table fits a
+        memory budget: with global bit-plane packing the mask expansion
+        ``((bits >> plane) & 1).reshape(B, I)`` plus the ``where`` fuse
+        into the score matmul's epilogue, so the per-call (B, I) int8
+        scatter build disappears and the mask read shrinks 8x. Measured
+        1.74x on score+mask and 1.32x on score+mask+topk at gowalla
+        scale, bit-exact (benchmarks/eval_attrib3.json). The pure-XLA
+        formulation is also GSPMD-partitionable — no shard_map needed on
+        a mesh. NEUREC_EVAL_PREMASK=0 forces the legacy scatter/Pallas
+        paths.
         """
         import os
 
-        flag = os.environ.get("NEUREC_EVAL_PREMASK", "")
-        if flag not in ("1", "on"):
+        flag = os.environ.get("NEUREC_EVAL_PREMASK", "auto")
+        if flag in ("0", "off"):
             return False
-        i_p = self.num_items + ((-self.num_items) % 1024)
-        bytes_needed = len(self.test_users) * (i_p // 8)
+        bytes_needed = len(self.test_users) * (self._items_pad8 // 8)
         return bytes_needed <= 512 * 1024 * 1024
 
     def _get_bits_table(self):
-        """(n_test, I_p/8) uint8 packed train masks, position-aligned;
-        built on device once per evaluator (chunked) and cached."""
+        """(n_test, I_p8/8) uint8 global-bit-plane train masks,
+        position-aligned; built on device once per evaluator and cached.
+
+        Plane layout: item ``c*(I_p8/8) + j`` lives in byte ``j`` bit
+        ``c`` (pack_train_bits with block_items = I_p8), so expansion is
+        a broadcast+shift+reshape XLA fuses into the consumer.
+        """
         if self._bits_table is None:
             from neurec_tpu.ops.pallas_kernels import pack_train_bits
 
+            i_p8 = self._items_pad8
             chunk = 4096
             n = len(self.test_users)
             pack = jax.jit(
-                lambda rows: pack_train_bits(rows, self.num_items)
+                lambda rows: pack_train_bits(
+                    rows, self.num_items, block_items=i_p8
+                )
             )
             parts = []
             for lo in range(0, n, chunk):
@@ -372,23 +392,65 @@ class UniEvaluator:
             ):
                 item_shard_topk = self._make_item_sharded_topk(K, interpret)
 
-            use_bits = item_shard_topk is None and self._premask_enabled()
-            if use_bits:
-                # per-eval-user train masks are static: pre-packed bitmask
-                # (pack_train_bits) instead of a per-call (B, I) int8
-                # scatter build — ~15% off the score+mask stage at gowalla
-                # scale (benchmarks/eval_attrib2.json)
-                def masked_fn(u_vecs, item_table, bits):
-                    return pallas_kernels.masked_scores_bits(
-                        u_vecs, item_table, bits, interpret=interpret
-                    )
+            def masked_fn(u_vecs, item_table, train_rows):
+                return pallas_kernels.masked_scores(
+                    u_vecs, item_table, train_rows, interpret=interpret
+                )
 
-            else:
-                def masked_fn(u_vecs, item_table, train_rows):
-                    return pallas_kernels.masked_scores(
-                        u_vecs, item_table, train_rows, interpret=interpret
-                    )
+        # default full-catalog path for factorized models: XLA-fused
+        # bit-plane masking from the pre-packed per-eval-user bitmap —
+        # the plane expansion + where fuse into the score matmul's
+        # epilogue (1.74x on score+mask, 1.32x with topk, bit-exact:
+        # benchmarks/eval_attrib3.json) and the formulation is plain XLA,
+        # so it runs on any platform and GSPMD partitions it on a mesh
+        use_bits = (
+            factorized is not None
+            and item_shard_topk is None
+            and self._premask_enabled()
+        )
+        if use_bits:
+            i_p8 = self._items_pad8
 
+            def bits_topk(u_vecs, item_table, bits):
+                scores = jnp.dot(
+                    u_vecs, item_table.T,
+                    preferred_element_type=jnp.float32,
+                )                                           # (B, I_p8)
+                planes = jnp.arange(8, dtype=jnp.uint8)
+                hit = (
+                    (bits[:, None, :] >> planes[None, :, None])
+                    & jnp.uint8(1)
+                ).reshape(bits.shape[0], i_p8)              # plane-major id
+                masked = jnp.where(hit != 0, -jnp.inf, scores)[
+                    :, :num_items
+                ]
+                _, topk = jax.lax.top_k(masked, K)
+                return topk
+
+            if (
+                self.mesh is not None
+                and self.mesh.size > 1
+                and "data" in self.mesh.axis_names
+            ):
+                # GSPMD partitions the fused score matmul fine but
+                # all-gathers the (B, I) matrix in front of TopK (seen in
+                # post-SPMD HLO; guarded by
+                # tests/test_pallas_kernels.py::test_bits_path_partitions_under_mesh)
+                # — shard_map the whole score+mask+topk block over 'data'
+                # so each device ranks only its own batch slice
+                from jax.sharding import PartitionSpec as P
+
+                from neurec_tpu.ops.graph import _shard_map
+
+                shard_map, _rep_kw = _shard_map()
+                bits_topk = shard_map(
+                    bits_topk,
+                    mesh=self.mesh,
+                    in_specs=(P("data"), P(), P("data")),
+                    out_specs=P("data"),
+                    **_rep_kw,
+                )
+        if use_pallas and not use_bits:
             if (
                 item_shard_topk is None
                 and self.mesh is not None
@@ -437,6 +499,18 @@ class UniEvaluator:
                     item_table.astype(jnp.float32),
                     mask_arg,
                 )
+            elif use_bits:
+                u_vecs, item_table = factorized(params, users)
+                if self._items_pad8 != num_items:
+                    item_table = jnp.pad(
+                        item_table,
+                        ((0, self._items_pad8 - num_items), (0, 0)),
+                    )
+                topk = bits_topk(
+                    u_vecs.astype(jnp.float32),
+                    item_table.astype(jnp.float32),
+                    mask_arg,
+                )
             else:
                 if use_pallas:
                     u_vecs, item_table = factorized(params, users)
@@ -445,7 +519,6 @@ class UniEvaluator:
                         item_table.astype(jnp.float32),
                         mask_arg,
                     )
-                    B = masked.shape[0]
                 else:
                     scores = predict_fn(params, users).astype(jnp.float32)
                     B = scores.shape[0]

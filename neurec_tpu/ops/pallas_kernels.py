@@ -59,17 +59,17 @@ def build_train_mask(train_rows: jnp.ndarray, num_items: int) -> jnp.ndarray:
 def pack_train_bits(
     train_rows: jnp.ndarray, num_items: int, block_items: int = 1024
 ) -> jnp.ndarray:
-    """(B, I_p/8) uint8 bit-plane-packed train mask for ``masked_scores_bits``.
+    """(B, I_p/8) uint8 bit-plane-packed train mask for the eval bits path.
 
     The eval users' train masks are static across eval calls, so the
-    evaluator packs them ONCE (8x smaller than the int8 mask it replaces,
-    and the per-call scatter build disappears). Packing is per item
-    block of P = block_items items: within block ``blk``, item
-    ``c*(P/8) + j`` lives in byte ``blk*(P/8) + j`` bit ``c`` — chosen so
-    the kernel can expand a (B, P/8) byte block to the (B, P) mask with
-    one static 8-way lane concat plus a shift, no per-element repeat. ``block_items`` must match the
-    consuming kernel's block size and keep block_items/8 a multiple of
-    128 (Mosaic requires 128-lane blocks in compiled mode).
+    evaluator packs them ONCE (8x smaller than the int8 mask it would
+    otherwise scatter-build every call). Packing is per item block of
+    P = block_items items: within block ``blk``, item ``c*(P/8) + j``
+    lives in byte ``blk*(P/8) + j`` bit ``c``. With ONE global block
+    (block_items = num_items rounded to 8 — the evaluator's choice) the
+    expansion is ``((bits[:, None, :] >> plane) & 1).reshape(B, I)``,
+    which XLA fuses into the score matmul's epilogue
+    (eval/evaluator.py use_bits path; benchmarks/eval_attrib3.json).
     """
     B = train_rows.shape[0]
     i_pad = (-num_items) % block_items
@@ -79,70 +79,6 @@ def pack_train_bits(
     weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :, None]
     bits = jnp.sum(m4.astype(jnp.int32) * weights, axis=2)
     return bits.reshape(B, I_p // 8).astype(jnp.uint8)
-
-
-def _masked_scores_bits_kernel(u_ref, items_ref, bits_ref, out_ref):
-    scores = jnp.dot(
-        u_ref[:], items_ref[:].T, preferred_element_type=jnp.float32
-    )                                                     # (B, BI) on the MXU
-    bits = bits_ref[:]                                    # (B, BI/8) uint8
-    rep = jnp.concatenate([bits] * 8, axis=1)             # (B, BI)
-    shift = jax.lax.broadcasted_iota(
-        jnp.int32, rep.shape, 1
-    ) // bits.shape[1]                                    # bit plane per copy
-    hit = (rep.astype(jnp.int32) >> shift) & 1
-    out_ref[:] = jnp.where(hit != 0, _NEG_INF, scores)
-
-
-def masked_scores_bits(
-    u_emb: jnp.ndarray,    # (B, d) float32 user representations
-    item_emb: jnp.ndarray,  # (I, d) float32 item table
-    bits: jnp.ndarray,     # (B, I_p/8) uint8 from pack_train_bits
-    block_items: int = 1024,  # /8 = 128-lane bits blocks (Mosaic minimum)
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """(B, I) scores with pre-packed train masks applied in-kernel.
-
-    Same contract as :func:`masked_scores` but the membership mask comes
-    bit-packed and precomputed — per call this removes the (B, I) int8
-    scatter build and reads 8x fewer mask bytes (measured ~15% off the
-    score+mask stage at gowalla scale, benchmarks/eval_attrib2.json).
-    """
-    B, d = u_emb.shape
-    I = item_emb.shape[0]
-    i_pad = (-I) % block_items
-    if i_pad:
-        item_emb = jnp.pad(item_emb, ((0, i_pad), (0, 0)))
-    n_blocks = (I + i_pad) // block_items
-    assert bits.shape == (B, (I + i_pad) // 8), (bits.shape, B, I, i_pad)
-    bpb = block_items // 8
-
-    out = pl.pallas_call(
-        _masked_scores_bits_kernel,
-        grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((B, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (block_items, d), lambda j: (j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (B, bpb), lambda j: (0, j), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (B, block_items), lambda j: (0, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, I + i_pad), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(
-        u_emb.astype(jnp.float32),
-        item_emb.astype(jnp.float32),
-        bits,
-    )
-    return out[:, :I]
 
 
 def masked_scores(

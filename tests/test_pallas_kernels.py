@@ -116,8 +116,10 @@ def _mf_setup(tmp_path, mesh=None):
 
 def test_evaluator_pallas_path_matches_xla(tmp_path, monkeypatch):
     """End-to-end: the evaluator's fused Pallas score+mask path (forced via
-    NEUREC_PALLAS_INTERPRET on the CPU platform) must reproduce the XLA
-    scatter path's result string exactly at %.8f precision."""
+    NEUREC_PALLAS_INTERPRET on the CPU platform, bits path disabled) must
+    reproduce the XLA scatter path's result string exactly at %.8f
+    precision."""
+    monkeypatch.setenv("NEUREC_EVAL_PREMASK", "0")
     monkeypatch.delenv("NEUREC_PALLAS_INTERPRET", raising=False)
     model, params, ev_xla = _mf_setup(tmp_path)
     want = ev_xla.evaluate(model.predict, params)
@@ -126,6 +128,59 @@ def test_evaluator_pallas_path_matches_xla(tmp_path, monkeypatch):
     _, _, ev_pl = _mf_setup(tmp_path)
     got = ev_pl.evaluate(model.predict, params)
     assert got == want
+
+
+def test_bits_path_partitions_under_mesh(tmp_path, monkeypatch):
+    """The default XLA bit-plane eval path must be partitioned by GSPMD
+    over 'data' on a mesh: the compiled program's main score matmul runs
+    on the per-device batch slice (asserted via the post-SPMD HLO), and
+    the numerics match the single-device run."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    from neurec_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.delenv("NEUREC_PALLAS_INTERPRET", raising=False)
+    monkeypatch.delenv("NEUREC_EVAL_PREMASK", raising=False)
+    model, params, ev_single = _mf_setup(tmp_path)
+    want = ev_single.evaluate(model.predict, params)
+
+    n_data = 4
+    mesh = make_mesh(n_data=n_data, n_model=2)
+    _, _, ev_mesh = _mf_setup(tmp_path, mesh=mesh)
+    uni = ev_mesh.evaluator
+    got = ev_mesh.evaluate(model.predict, params)
+    np.testing.assert_allclose(
+        [float(x) for x in got.split("	")],
+        [float(x) for x in want.split("	")],
+        rtol=1e-6, atol=1e-7,
+    )
+    assert uni._get_steps(model.predict)[2], "bits path did not engage"
+
+    # post-SPMD HLO: the (B, I_p8) score/mask intermediates must appear at
+    # the per-device batch slice, never at the full batch size
+    full_all = uni._get_steps(model.predict)[0]
+    bits = uni._get_bits_table()
+    users_b, sel_b, valid_b = uni._default_batches
+    txt = (
+        full_all.lower(params, users_b, sel_b, valid_b, bits)
+        .compile()
+        .as_text()
+    )
+    full_B = users_b.shape[1]
+    i_p8 = uni._items_pad8
+    per_dev = "f32[%d,%d]" % (full_B // n_data, i_p8)
+    replicated = "f32[%d,%d]" % (full_B, i_p8)
+    assert per_dev in txt, (
+        "expected per-device score block %s in compiled HLO" % per_dev
+    )
+    assert replicated not in txt, (
+        "full-batch score block %s found in compiled HLO — eval is not "
+        "partitioned over 'data'" % replicated
+    )
 
 
 def test_evaluator_pallas_mesh_actually_partitions(tmp_path, monkeypatch):
@@ -144,24 +199,20 @@ def test_evaluator_pallas_mesh_actually_partitions(tmp_path, monkeypatch):
     from neurec_tpu.parallel.mesh import make_mesh
 
     recorded = []
-    real_bits = pallas_kernels.masked_scores_bits
     real_rows = pallas_kernels.masked_scores
-
-    def spy_bits(u_vecs, item_table, bits, **kw):
-        recorded.append(tuple(u_vecs.shape))
-        return real_bits(u_vecs, item_table, bits, **kw)
 
     def spy_rows(u_vecs, item_table, train_rows, **kw):
         recorded.append(tuple(u_vecs.shape))
         return real_rows(u_vecs, item_table, train_rows, **kw)
 
-    # the default replicated path uses the pre-packed bits kernel; spy on
-    # both so the test guards the shard_map wrap regardless of which
-    # masking variant is active
-    monkeypatch.setattr(pallas_kernels, "masked_scores_bits", spy_bits)
     monkeypatch.setattr(pallas_kernels, "masked_scores", spy_rows)
     monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
     monkeypatch.delenv("NEUREC_EVAL_ITEM_SHARD", raising=False)
+    # force the Pallas masked-scores path: the default bits path is plain
+    # XLA (GSPMD-partitioned; covered by
+    # test_bits_path_partitions_under_mesh), while this test guards the
+    # shard_map wrap of the pallas_call fallback
+    monkeypatch.setenv("NEUREC_EVAL_PREMASK", "0")
 
     n_data = 4
     mesh = make_mesh(n_data=n_data, n_model=2)
@@ -232,48 +283,41 @@ def test_evaluator_pallas_path_under_mesh(tmp_path, monkeypatch):
     )
 
 
-def test_masked_scores_bits_matches_rows_kernel():
-    """Pre-packed bitmask kernel must reproduce the rows kernel bit-exactly
-    (same scores, same -inf placement), including tail blocks."""
+def test_pack_train_bits_xla_expansion_roundtrip():
+    """Global-bit-plane packing + the XLA expansion used by the
+    evaluator's default bits path must reproduce build_train_mask
+    exactly, including the 8-pad tail."""
     import jax.numpy as jnp
 
-    from neurec_tpu.ops.pallas_kernels import (
-        masked_scores,
-        masked_scores_bits,
-        pack_train_bits,
-    )
+    from neurec_tpu.ops.pallas_kernels import build_train_mask, pack_train_bits
 
     rng = np.random.RandomState(5)
-    B, I, d, L = 16, 1200, 32, 60
-    u = rng.randn(B, d).astype(np.float32)
-    items = rng.randn(I, d).astype(np.float32)
+    B, I, L = 16, 1203, 60  # I deliberately not a multiple of 8
     rows = np.full((B, L), I, dtype=np.int32)
     for b in range(B):
         n = rng.randint(1, L)
         rows[b, :n] = np.sort(rng.choice(I, size=n, replace=False))
 
-    want = np.asarray(
-        masked_scores(jnp.asarray(u), jnp.asarray(items), jnp.asarray(rows),
-                      interpret=True)
-    )
-    bits = pack_train_bits(jnp.asarray(rows), I)
-    got = np.asarray(
-        masked_scores_bits(jnp.asarray(u), jnp.asarray(items), bits,
-                           interpret=True)
-    )
-    np.testing.assert_array_equal(got, want)
+    i_p8 = I + ((-I) % 8)
+    bits = pack_train_bits(jnp.asarray(rows), I, block_items=i_p8)
+    planes = jnp.arange(8, dtype=jnp.uint8)
+    hit = (
+        (bits[:, None, :] >> planes[None, :, None]) & jnp.uint8(1)
+    ).reshape(B, i_p8)
+    want = np.asarray(build_train_mask(jnp.asarray(rows), i_p8))
+    np.testing.assert_array_equal(np.asarray(hit), want)
 
 
-def test_evaluator_premask_matches_scatter_path(tmp_path, monkeypatch):
-    """The evaluator's pre-packed-bits path (default) must reproduce the
-    per-call scatter-mask path's result string exactly."""
-    monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
+def test_evaluator_bits_path_matches_scatter_path(tmp_path, monkeypatch):
+    """The evaluator's default XLA bit-plane-masked path must reproduce
+    the legacy scatter path's result string exactly."""
+    monkeypatch.delenv("NEUREC_PALLAS_INTERPRET", raising=False)
+    monkeypatch.setenv("NEUREC_EVAL_PREMASK", "0")
+    model, params, ev_scatter = _mf_setup(tmp_path)
+    want = ev_scatter.evaluate(model.predict, params)
+    assert not ev_scatter.evaluator._get_steps(model.predict)[2]
+
     monkeypatch.delenv("NEUREC_EVAL_PREMASK", raising=False)
-    model, params, ev_rows = _mf_setup(tmp_path)
-    want = ev_rows.evaluate(model.predict, params)
-    assert not ev_rows.evaluator._get_steps(model.predict)[2]
-
-    monkeypatch.setenv("NEUREC_EVAL_PREMASK", "1")
     _, _, ev_bits = _mf_setup(tmp_path)
     got = ev_bits.evaluate(model.predict, params)
     assert ev_bits.evaluator._get_steps(model.predict)[2]
