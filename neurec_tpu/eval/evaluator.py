@@ -237,7 +237,7 @@ class UniEvaluator:
     def _premask_enabled(self) -> bool:
         """Pre-packed train-mask bitmap + XLA-fused bit-plane masking.
 
-        DEFAULT for factorized models while the packed table fits a
+        DEFAULT for every model while the packed table fits a
         memory budget: with global bit-plane packing the mask expansion
         ``((bits >> plane) & 1).reshape(B, I)`` plus the ``where`` fuse
         into the score matmul's epilogue, so the per-call (B, I) int8
@@ -397,38 +397,40 @@ class UniEvaluator:
                     u_vecs, item_table, train_rows, interpret=interpret
                 )
 
-        # default full-catalog path for factorized models: XLA-fused
-        # bit-plane masking from the pre-packed per-eval-user bitmap —
-        # the plane expansion + where fuse into the score matmul's
-        # epilogue (1.74x on score+mask, 1.32x with topk, bit-exact:
-        # benchmarks/eval_attrib3.json) and the formulation is plain XLA,
-        # so it runs on any platform and GSPMD partitions it on a mesh
-        use_bits = (
-            factorized is not None
-            and item_shard_topk is None
-            and self._premask_enabled()
-        )
+        # default full-catalog path: XLA-fused bit-plane masking from the
+        # pre-packed per-eval-user bitmap — the plane expansion + where
+        # fuse into the score producer's epilogue (1.33x production eval
+        # at gowalla scale, bit-exact: benchmarks/eval_bits_prod_ab.json)
+        # and the formulation is plain XLA, so it runs on any platform;
+        # factorized models additionally shard_map score+mask+topk over
+        # 'data' on a mesh (GSPMD alone all-gathers in front of TopK)
+        use_bits = item_shard_topk is None and self._premask_enabled()
         if use_bits:
             i_p8 = self._items_pad8
+
+            def bits_mask_scores(scores_ip8, bits):
+                """where(-inf) at packed train bits; fuses into the
+                producer's epilogue (scores must be padded to I_p8)."""
+                planes = jnp.arange(8, dtype=jnp.uint8)
+                hit = (
+                    (bits[:, None, :] >> planes[None, :, None])
+                    & jnp.uint8(1)
+                ).reshape(bits.shape[0], i_p8)              # plane-major id
+                return jnp.where(hit != 0, -jnp.inf, scores_ip8)[
+                    :, :num_items
+                ]
 
             def bits_topk(u_vecs, item_table, bits):
                 scores = jnp.dot(
                     u_vecs, item_table.T,
                     preferred_element_type=jnp.float32,
                 )                                           # (B, I_p8)
-                planes = jnp.arange(8, dtype=jnp.uint8)
-                hit = (
-                    (bits[:, None, :] >> planes[None, :, None])
-                    & jnp.uint8(1)
-                ).reshape(bits.shape[0], i_p8)              # plane-major id
-                masked = jnp.where(hit != 0, -jnp.inf, scores)[
-                    :, :num_items
-                ]
-                _, topk = jax.lax.top_k(masked, K)
+                _, topk = jax.lax.top_k(bits_mask_scores(scores, bits), K)
                 return topk
 
             if (
-                self.mesh is not None
+                factorized is not None
+                and self.mesh is not None
                 and self.mesh.size > 1
                 and "data" in self.mesh.axis_names
             ):
@@ -499,7 +501,7 @@ class UniEvaluator:
                     item_table.astype(jnp.float32),
                     mask_arg,
                 )
-            elif use_bits:
+            elif use_bits and factorized is not None:
                 u_vecs, item_table = factorized(params, users)
                 if self._items_pad8 != num_items:
                     item_table = jnp.pad(
@@ -512,7 +514,19 @@ class UniEvaluator:
                     mask_arg,
                 )
             else:
-                if use_pallas:
+                if use_bits:
+                    # non-factorized models: same fused bit-plane mask on
+                    # predict's output (replaces the concat/scatter/slice
+                    # chain); GSPMD behavior matches the old scatter path
+                    scores = predict_fn(params, users).astype(jnp.float32)
+                    if self._items_pad8 != num_items:
+                        scores = jnp.pad(
+                            scores,
+                            ((0, 0), (0, self._items_pad8 - num_items)),
+                            constant_values=-jnp.inf,
+                        )
+                    masked = bits_mask_scores(scores, mask_arg)
+                elif use_pallas:
                     u_vecs, item_table = factorized(params, users)
                     masked = masked_fn(
                         u_vecs.astype(jnp.float32),

@@ -322,3 +322,19 @@ def test_evaluator_bits_path_matches_scatter_path(tmp_path, monkeypatch):
     got = ev_bits.evaluate(model.predict, params)
     assert ev_bits.evaluator._get_steps(model.predict)[2]
     assert got == want
+
+
+def test_nonfactorized_bits_path_matches_scatter(tmp_path, monkeypatch):
+    """Models without eval_embeddings also take the fused bit-plane mask
+    by default; it must reproduce the legacy scatter chain exactly."""
+    monkeypatch.delenv("NEUREC_PALLAS_INTERPRET", raising=False)
+    monkeypatch.setenv("NEUREC_EVAL_PREMASK", "0")
+    model, params, ev_scatter = _mf_setup(tmp_path)
+    monkeypatch.setattr(model, "eval_embeddings", None)
+    want = ev_scatter.evaluate(model.predict, params)
+
+    monkeypatch.delenv("NEUREC_EVAL_PREMASK", raising=False)
+    _, _, ev_bits = _mf_setup(tmp_path)
+    got = ev_bits.evaluate(model.predict, params)
+    assert ev_bits.evaluator._get_steps(model.predict)[2]
+    assert got == want
