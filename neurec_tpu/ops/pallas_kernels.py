@@ -25,8 +25,6 @@ with ``shard_map`` over the batch ('data') axis — see
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
