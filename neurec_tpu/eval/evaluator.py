@@ -6,13 +6,23 @@ GroupedEvaluator / UniEvaluator with a C++ thread-pool backend
 evaluator/backend/cpp/*) — with a single jitted device pipeline:
 
     scores = predict(params, users)            # batched, (B, num_items)
-    mask train items to -inf                   # scatter via padded rows
+    mask train items to -inf                   # fused bit-plane bitmap
     top-K = lax.top_k                          # on device
     metrics = vectorized cumulative kernels    # ops/metrics.py
 
 so evaluation never round-trips score matrices to the host (the reference
 moves a (B, num_items) float matrix across the device boundary per batch and
 partial-sorts it on CPU threads, evaluate.h:23-50).
+
+Masking tiers (all bit-exact vs each other, chosen in _make_eval_step):
+the DEFAULT packs each eval user's static train mask once into a global
+bit-plane bitmap whose expand+where fuses into the score producer's
+epilogue (1.33x production eval at gowalla scale,
+benchmarks/eval_bits_prod_ab.json); NEUREC_EVAL_PREMASK=0 restores the
+legacy tiers — the Pallas fused score+mask kernel (shard_mapped over
+'data' on a mesh) for factorized models on TPU, and the XLA scatter
+chain otherwise. Catalogs >= 100k items on a 2-D mesh switch to the
+item-sharded local-top-K merge instead.
 
 Protocol parity:
 
