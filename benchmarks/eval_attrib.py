@@ -7,6 +7,12 @@ building any fused top-K kernel (VERDICT r3 #3/#4: measure first).
 
 Writes benchmarks/eval_attrib.json.
 
+PROTOCOL CAVEAT (added after the fact): these timings predate the
+strict doctrine (block_until_ready on repeated identical dispatches can
+be cache-served / return early on the tunneled chip). Their RELATIVE
+attribution held up, but for decisions use the distinct-params
+np.asarray protocol of eval_bits_prod_ab.py / eval_topk_ab.py.
+
 Run:  python benchmarks/eval_attrib.py [--rounds 5]
 """
 

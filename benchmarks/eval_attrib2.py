@@ -13,6 +13,12 @@ lax.top_k ~2.5 ms. Candidates measured here, all EXACT:
   one.
 
 Writes benchmarks/eval_attrib2.json.
+
+PROTOCOL CAVEAT (added after the fact): these timings predate the
+strict doctrine (block_until_ready on repeated identical dispatches can
+be cache-served / return early on the tunneled chip). Their RELATIVE
+attribution held up, but for decisions use the distinct-params
+np.asarray protocol of eval_bits_prod_ab.py / eval_topk_ab.py.
 """
 
 from __future__ import annotations
