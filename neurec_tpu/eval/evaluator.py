@@ -573,6 +573,21 @@ class UniEvaluator:
             w = valid.astype(jnp.float32)
             return jnp.sum(m * w[:, None, None], axis=0), jnp.sum(w)
 
+        # models whose item/user tables are user-independent (graph
+        # propagation, AE decoders...) expose eval_tables(params) so the
+        # table computation hoists OUT of the per-batch scan — XLA does
+        # not hoist a loop-invariant pallas_call/SpMM chain itself, so
+        # LightGCN-family eval otherwise re-propagates every batch
+        tables_fn = (
+            getattr(model, "eval_tables", None) if use_bits else None
+        )
+
+        def metric_tail(topk, sel, valid):
+            hits = hit_matrix(topk, self._test_rows[sel], self._test_lens[sel])
+            m = all_metrics(hits, self._test_lens[sel])  # (B, 5, K)
+            w = valid.astype(jnp.float32)
+            return jnp.sum(m * w[:, None, None], axis=0), jnp.sum(w)
+
         # the whole evaluation — every batch — as ONE device program:
         # lax.scan over (n_batches, B) position blocks, accumulating the
         # metric sums on device, so an eval pass is a single dispatch.
@@ -581,20 +596,42 @@ class UniEvaluator:
             # constant is fetched host-side at lowering and shipped with
             # the program to the remote compile service (HTTP 413 at
             # gowalla scale)
+            hoisted = None
+            if tables_fn is not None:
+                u_table, item_table = tables_fn(params)
+                if self._items_pad8 != num_items:
+                    item_table = jnp.pad(
+                        item_table,
+                        ((0, self._items_pad8 - num_items), (0, 0)),
+                    )
+                hoisted = (
+                    u_table.astype(jnp.float32),
+                    item_table.astype(jnp.float32),
+                )
+
             def body(carry, xs):
                 total, count = carry
                 users, sel, valid = xs
-                mask_arg = (
-                    bits_table[sel] if use_bits else self._train_rows[users]
-                )
-                msum, wsum = full_catalog_step(
-                    params,
-                    users,
-                    mask_arg,
-                    self._test_rows[sel],
-                    self._test_lens[sel],
-                    valid,
-                )
+                if hoisted is not None:
+                    u_table, item_table = hoisted
+                    topk = bits_topk(
+                        u_table[users], item_table, bits_table[sel]
+                    )
+                    msum, wsum = metric_tail(topk, sel, valid)
+                else:
+                    mask_arg = (
+                        bits_table[sel]
+                        if use_bits
+                        else self._train_rows[users]
+                    )
+                    msum, wsum = full_catalog_step(
+                        params,
+                        users,
+                        mask_arg,
+                        self._test_rows[sel],
+                        self._test_lens[sel],
+                        valid,
+                    )
                 return (total + msum, count + wsum), None
 
             init = (jnp.zeros((5, K)), jnp.zeros(()))

@@ -97,3 +97,9 @@ class LightGCN(Recommender):
         """Factorized eval form for the fused Pallas score+mask kernel."""
         u_table, i_table = self.propagate(params)
         return u_table[users], i_table
+
+    def eval_tables(self, params):
+        """User-independent tables: lets the evaluator hoist the K-layer
+        propagation out of its per-batch scan (XLA does not hoist the
+        loop-invariant SpMM chain itself)."""
+        return self.propagate(params)

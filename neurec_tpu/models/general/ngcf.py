@@ -178,3 +178,7 @@ class NGCF(Recommender):
     def eval_embeddings(self, params, users):
         u_table, i_table = self.propagate(params, None, training=False)
         return u_table[users], i_table
+
+    def eval_tables(self, params):
+        """Hoistable user-independent tables (see LightGCN.eval_tables)."""
+        return self.propagate(params, None, training=False)

@@ -139,3 +139,7 @@ class DiffNet(Recommender):
     def eval_embeddings(self, params, users):
         u_table, i_table = self._tables(params)
         return u_table[users], i_table
+
+    def eval_tables(self, params):
+        """Hoistable user-independent tables (see LightGCN.eval_tables)."""
+        return self._tables(params)

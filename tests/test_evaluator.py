@@ -182,3 +182,51 @@ def test_native_backend_matches_device():
         nat.evaluate_raw(predict, None), dev.evaluate_raw(predict, None),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_eval_tables_hoisting_matches_and_engages():
+    """Models exposing eval_tables get the table computation hoisted out
+    of the eval scan: the hoisted program must not call eval_embeddings
+    at all, and its result string must match the unhoisted path."""
+    from __graft_entry__ import _tiny_setup
+    from neurec_tpu.eval.evaluator import Evaluator
+
+    dataset, conf, model = _tiny_setup("LightGCN")
+    import jax
+
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    calls = {"tables": 0, "embeddings": 0}
+    real_tables = model.eval_tables
+    real_emb = model.eval_embeddings
+
+    def spy_tables(params):
+        calls["tables"] += 1
+        return real_tables(params)
+
+    def spy_emb(params, users):
+        calls["embeddings"] += 1
+        return real_emb(params, users)
+
+    model.eval_tables = spy_tables
+    model.eval_embeddings = spy_emb
+    try:
+        ev = Evaluator.from_dataset(dataset, conf)
+        got = ev.evaluate(model.predict, params)
+        assert calls["tables"] >= 1, "eval_tables hook not used"
+        assert calls["embeddings"] == 0, (
+            "hoisted path still calls the per-batch eval_embeddings"
+        )
+    finally:
+        model.eval_tables = real_tables
+        model.eval_embeddings = real_emb
+
+    # unhoisted reference: same evaluator machinery without the hook
+    class NoTables:
+        pass
+
+    model2 = _tiny_setup("LightGCN")[2]
+    model2.eval_tables = None  # getattr(...) returns None -> unhoisted
+    ev2 = Evaluator.from_dataset(dataset, conf)
+    want = ev2.evaluate(model2.predict, params)
+    assert got == want
