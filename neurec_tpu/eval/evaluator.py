@@ -14,15 +14,21 @@ so evaluation never round-trips score matrices to the host (the reference
 moves a (B, num_items) float matrix across the device boundary per batch and
 partial-sorts it on CPU threads, evaluate.h:23-50).
 
-Masking tiers (all bit-exact vs each other, chosen in _make_eval_step):
-the DEFAULT packs each eval user's static train mask once into a global
-bit-plane bitmap whose expand+where fuses into the score producer's
-epilogue (1.33x production eval at gowalla scale,
-benchmarks/eval_bits_prod_ab.json); NEUREC_EVAL_PREMASK=0 restores the
-legacy tiers — the Pallas fused score+mask kernel (shard_mapped over
-'data' on a mesh) for factorized models on TPU, and the XLA scatter
-chain otherwise. Catalogs >= 100k items on a 2-D mesh switch to the
-item-sharded local-top-K merge instead.
+Masking tiers (all bit-exact vs each other) live in ``eval/tiers.py`` —
+one named builder per tier plus the pure ``select_tier`` selector, with
+the selection matrix and cross-tier bit-exactness parametrized in
+tests/test_eval_tiers.py. The DEFAULT packs each eval user's static
+train mask once into a bit-plane bitmap whose expand+where fuses into
+the score producer's epilogue (1.33x production eval at gowalla scale,
+benchmarks/eval_bits_prod_ab.json); big catalogs (>= the HBM-derived
+``tiers.item_shard_threshold``) on a 2-D mesh switch to the composed
+``item_shard_bits`` tier — the bits byte columns shard P('model') with
+the item table and ``eval_tables`` hoists out of the scan, so the
+sharded path runs the fastest masking tier too. Over-budget bits tables
+stream (pack per scan batch on device) instead of falling back.
+NEUREC_EVAL_PREMASK=0 restores the legacy tiers — the Pallas fused
+score+mask kernel (shard_mapped over 'data' on a mesh) for factorized
+models on TPU, and the XLA scatter chain otherwise.
 
 Protocol parity:
 
@@ -41,12 +47,14 @@ Protocol parity:
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from neurec_tpu.eval import tiers
+from neurec_tpu.eval.tiers import TierPlan, select_tier
 from neurec_tpu.ops.metrics import METRIC_INDEX, METRIC_NAMES, all_metrics, hit_matrix
 
 import logging as _pylogging
@@ -55,11 +63,19 @@ _log = _pylogging.getLogger("neurec_tpu.eval")
 
 PredictFn = Callable[[object, jnp.ndarray], jnp.ndarray]
 
-# catalog size at which eval auto-switches from the replicated-item-table
-# kernel (one shard_map over 'data') to the item-sharded merge-top-k path
-# (table P('model'), local top-K + all-gather merge) — see
-# UniEvaluator._item_shard_mode for the measured rationale
-_ITEM_SHARD_THRESHOLD = 100_000
+
+class EvalProgram(NamedTuple):
+    """Compiled evaluation programs + the tier plan that produced them.
+
+    A NamedTuple so legacy consumers indexing [0]/[2] (benchmarks,
+    pre-r5 tests) keep working; ``plan`` carries the full tier decision
+    for introspection.
+    """
+
+    full_all: Callable
+    cand_all: Callable
+    needs_bits: bool  # a prebuilt bits table must be passed
+    plan: TierPlan
 
 
 def _pallas_interpret_forced() -> bool:
@@ -197,9 +213,10 @@ class UniEvaluator:
             self._n_pos = None
 
         self._user_pos_index = {int(u): i for i, u in enumerate(self.test_users)}
-        self._jit_cache: Dict[int, Callable] = {}
+        self._jit_cache: Dict[int, EvalProgram] = {}
         self._default_batches = None  # cached full-test-set eval batches
-        self._bits_table = None  # cached packed train-mask bitmap
+        # packed train-mask bitmaps, keyed by (pack_block, width) layout
+        self._bits_tables: Dict[Tuple[int, int], jnp.ndarray] = {}
 
     # -- info --------------------------------------------------------------
     def metrics_info(self) -> str:
@@ -215,12 +232,14 @@ class UniEvaluator:
     def _item_shard_mode(self) -> str:
         """'on' / 'off' / 'auto' for the item-sharded eval kernel.
 
-        auto engages at >= ``_ITEM_SHARD_THRESHOLD`` items: below it, one
+        auto engages at >= ``tiers.item_shard_threshold(batch_size)``
+        items (the catalog size where one (B, I) f32 score block exceeds
+        the per-device ``SCORE_BLOCK_BUDGET``): below it, one
         replicated-table kernel per device is faster than paying two
         all-gathers per batch (measured: the 38.5k-item gowalla catalog
         evaluates 14.8k users in 0.17 s replicated — table + per-batch
-        scores are MBs); above it the table (I*d floats) and the (B, I)
-        score block stop fitting comfortably per device and compute should
+        scores are MBs); above it the (B, I) score block and the I*d
+        table stop fitting comfortably per device and compute should
         scale with the 'model' axis too. Override: NEUREC_EVAL_ITEM_SHARD.
         """
         import os
@@ -234,56 +253,43 @@ class UniEvaluator:
 
     @property
     def _items_pad8(self) -> int:
-        """Padded catalog size for bit-plane packing.
+        """Padded catalog width for replicated bit-plane packing
+        (``tiers.global_bits_width``: a 1024 multiple keeps the byte dim
+        128-lane aligned so the plane expand fuses into the matmul)."""
+        return tiers.global_bits_width(self.num_items)
 
-        Rounded to a multiple of 1024 so the packed table's minor dim
-        (I_p/8) is a 128-lane multiple — with an unaligned minor dim the
-        plane-expand reshape stops fusing into the matmul epilogue and
-        the measured gain disappears (TPU pads the minor dim to 128
-        physically either way, so the extra columns are free).
-        """
-        return self.num_items + ((-self.num_items) % 1024)
-
-    def _premask_enabled(self) -> bool:
-        """Pre-packed train-mask bitmap + XLA-fused bit-plane masking.
-
-        DEFAULT for every model while the packed table fits a
-        memory budget: with global bit-plane packing the mask expansion
-        ``((bits >> plane) & 1).reshape(B, I)`` plus the ``where`` fuse
-        into the score matmul's epilogue, so the per-call (B, I) int8
-        scatter build disappears and the mask read shrinks 8x. Measured
-        1.74x on score+mask and 1.32x on score+mask+topk at gowalla
-        scale, bit-exact (benchmarks/eval_attrib3.json). The pure-XLA
-        formulation is also GSPMD-partitionable — no shard_map needed on
-        a mesh. NEUREC_EVAL_PREMASK=0 forces the legacy scatter/Pallas
-        paths.
-        """
+    def _premask_requested(self) -> bool:
+        """NEUREC_EVAL_PREMASK gate for the bit-plane tiers (the DEFAULT;
+        =0 restores the legacy Pallas/scatter paths). Budget handling
+        moved to ``tiers.select_tier``: over-budget tables now stream
+        per-batch instead of falling back."""
         import os
 
-        flag = os.environ.get("NEUREC_EVAL_PREMASK", "auto")
-        if flag in ("0", "off"):
-            return False
-        bytes_needed = len(self.test_users) * (self._items_pad8 // 8)
-        return bytes_needed <= 512 * 1024 * 1024
+        return os.environ.get("NEUREC_EVAL_PREMASK", "auto") not in (
+            "0", "off",
+        )
 
-    def _get_bits_table(self):
-        """(n_test, I_p8/8) uint8 global-bit-plane train masks,
-        position-aligned; built on device once per evaluator and cached.
+    def _get_bits_table(self, pack_block: Optional[int] = None,
+                        width: Optional[int] = None):
+        """(n_test, width/8) uint8 bit-plane-packed train masks,
+        position-aligned; built on device once per layout and cached.
 
-        Plane layout: item ``c*(I_p8/8) + j`` lives in byte ``j`` bit
-        ``c`` (pack_train_bits with block_items = I_p8), so expansion is
-        a broadcast+shift+reshape XLA fuses into the consumer.
+        Default layout is the replicated one (one global block =
+        ``_items_pad8``); the item-sharded tier passes its per-shard
+        block so byte-column shard s holds exactly item block s. Under a
+        mesh the table is placed explicitly — byte columns P(None,
+        'model') for the sharded layout (they ride with the item table),
+        replicated otherwise — which also makes the array global under
+        multi-process meshes.
         """
-        if self._bits_table is None:
-            from neurec_tpu.ops.pallas_kernels import pack_train_bits
-
-            i_p8 = self._items_pad8
+        if pack_block is None:
+            pack_block = width = self._items_pad8
+        key = (int(pack_block), int(width))
+        if key not in self._bits_tables:
             chunk = 4096
             n = len(self.test_users)
             pack = jax.jit(
-                lambda rows: pack_train_bits(
-                    rows, self.num_items, block_items=i_p8
-                )
+                tiers.make_stream_pack(self.num_items, pack_block, width)
             )
             parts = []
             for lo in range(0, n, chunk):
@@ -298,197 +304,87 @@ class UniEvaluator:
                         constant_values=self.num_items,
                     )
                 parts.append(pack(rows)[: min(chunk, n - lo)])
-            self._bits_table = (
+            table = (
                 jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
             )
-        return self._bits_table
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from neurec_tpu.parallel.mesh import global_device_put
+
+                spec = P(None, "model") if pack_block != width else P()
+                table = global_device_put(
+                    table, NamedSharding(self.mesh, spec)
+                )
+            self._bits_tables[key] = table
+        return self._bits_tables[key]
 
     def _make_item_sharded_topk(self, K: int, interpret: bool):
-        """Top-K over an item table sharded P('model') on the 2-D mesh.
-
-        Each device scores + masks only its (I/m, d) table block against its
-        'data' batch slice with the Pallas fused kernel, takes a LOCAL
-        top-K with global item ids, then the (B, K) candidate lists are
-        all-gathered over 'model' (tiny next to the (B, I) score matrix)
-        and merge-reduced to the exact global top-K. This is the
-        big-catalog path (VERDICT r2 weak #7): HBM and FLOPs per device
-        scale 1/m instead of replicating the full table.
-        """
-        from jax.sharding import PartitionSpec as P
-
-        from neurec_tpu.ops.graph import _shard_map
-        from neurec_tpu.ops.pallas_kernels import masked_scores
-
-        shard_map, rep_kw = _shard_map()
-        mesh = self.mesh
-        n_model = dict(zip(mesh.axis_names, mesh.devices.shape))["model"]
-        num_items = self.num_items
-        i_pad = (-num_items) % n_model
-        I_m = (num_items + i_pad) // n_model
-
-        def body(u_vecs, item_block, train_rows):
-            off = jax.lax.axis_index("model").astype(jnp.int32) * I_m
-            # global -> block-local train ids; out-of-block ids map past the
-            # catalog so build_train_mask's scatter drops them
-            local_rows = jnp.where(
-                (train_rows >= off) & (train_rows < off + I_m),
-                train_rows - off,
-                jnp.int32(2 ** 30),
-            )
-            masked = masked_scores(
-                u_vecs, item_block, local_rows, interpret=interpret
-            )                                              # (B, I_m)
-            # table pad rows (global id >= num_items) must never rank
-            gcol = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1) + off
-            masked = jnp.where(gcol < num_items, masked, -jnp.inf)
-            k_local = min(K, I_m)
-            vals, ids = jax.lax.top_k(masked, k_local)
-            gids = ids.astype(jnp.int32) + off
-            # (m, B, k_local) -> (B, m*k_local) candidates, exact merge
-            vals_all = jax.lax.all_gather(vals, "model")
-            gids_all = jax.lax.all_gather(gids, "model")
-            B = vals.shape[0]
-            vals_cat = vals_all.transpose(1, 0, 2).reshape(B, -1)
-            gids_cat = gids_all.transpose(1, 0, 2).reshape(B, -1)
-            mvals, midx = jax.lax.top_k(vals_cat, K)
-            return jnp.take_along_axis(gids_cat, midx, axis=1)
-
-        sharded = shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P("data", None), P("model", None), P("data", None)),
-            out_specs=P("data", None),
-            **rep_kw,
+        """Legacy item-sharded merge (NEUREC_EVAL_PREMASK=0): local Pallas
+        score+mask per P('model') table block, exact all-gather merge."""
+        return tiers.make_item_shard_rows_topk(
+            K, self.mesh, self.num_items, interpret
         )
 
-        def topk_fn(u_vecs, item_table, train_rows):
-            if i_pad:
-                item_table = jnp.pad(item_table, ((0, i_pad), (0, 0)))
-            return sharded(u_vecs, item_table, train_rows)
+    def _make_item_sharded_bits_topk(self, K: int, pack_block: int):
+        """Composed big-catalog path (VERDICT r4 #1): bits byte columns
+        sharded P(None, 'model') with the item table; each device masks
+        its (B, I/m) score block via the fused bit-plane expand, local
+        top-K, exact all-gather merge over 'model'."""
+        n_model = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))[
+            "model"
+        ]
+        return tiers.make_item_shard_bits_topk(
+            K, self.mesh, self.num_items, pack_block, n_model
+        )
 
-        return topk_fn
-
-    def _make_eval_step(self, predict_fn: PredictFn):
-        num_items = self.num_items
-        K = min(self.max_top, num_items)
-
-        # factorized models (scores == u_vecs @ item_table.T) use the Pallas
-        # fused score+mask kernel on TPU — one pass over the score matrix
-        # instead of XLA's concat/scatter/slice chain
+    def _select_plan(self, predict_fn: PredictFn) -> TierPlan:
+        """Resolve the masking/ranking tier for this model (pure
+        ``tiers.select_tier`` over evaluator + platform scalars)."""
         model = getattr(predict_fn, "__self__", None)
         factorized = getattr(model, "eval_embeddings", None)
         interpret = _pallas_interpret_forced()
-        use_pallas = factorized is not None and (
-            interpret or jax.devices()[0].platform.lower() != "cpu"
+        mesh_axes = (
+            dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+            if self.mesh is not None
+            else {}
         )
-        item_shard_topk = None
-        use_bits = False
-        mode = self._item_shard_mode()
-        if use_pallas:
-            from neurec_tpu.ops import pallas_kernels
+        return select_tier(
+            factorized=factorized is not None,
+            has_tables=getattr(model, "eval_tables", None) is not None,
+            pallas_ok=factorized is not None
+            and (interpret or jax.devices()[0].platform.lower() != "cpu"),
+            n_model=mesh_axes.get("model", 1),
+            has_data_axis="data" in mesh_axes,
+            mesh_size=self.mesh.size if self.mesh is not None else 1,
+            item_shard_mode=self._item_shard_mode(),
+            num_items=self.num_items,
+            batch_size=self.batch_size,
+            n_test_users=len(self.test_users),
+            premask=self._premask_requested(),
+            neg_protocol=self.user_neg_test is not None,
+        )
 
-            mesh_axes = (
-                dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
-                if self.mesh is not None
-                else {}
-            )
-            if (
-                mesh_axes.get("model", 1) > 1
-                and "data" in mesh_axes
-                and (
-                    mode == "on"
-                    or (mode == "auto" and num_items >= _ITEM_SHARD_THRESHOLD)
-                )
-            ):
-                item_shard_topk = self._make_item_sharded_topk(K, interpret)
+    def _make_eval_step(self, predict_fn: PredictFn) -> EvalProgram:
+        """Compile the evaluation programs for the selected tier.
 
-            def masked_fn(u_vecs, item_table, train_rows):
-                return pallas_kernels.masked_scores(
-                    u_vecs, item_table, train_rows, interpret=interpret
-                )
+        The tier machinery lives in ``eval/tiers.py`` (one builder per
+        tier); this method only wires the chosen top-K function into the
+        single-dispatch ``lax.scan`` over eval batches and the metric
+        tail.
+        """
+        num_items = self.num_items
+        K = min(self.max_top, num_items)
+        model = getattr(predict_fn, "__self__", None)
+        factorized = getattr(model, "eval_embeddings", None)
+        interpret = _pallas_interpret_forced()
+        plan = self._select_plan(predict_fn)
 
-        # default full-catalog path: XLA-fused bit-plane masking from the
-        # pre-packed per-eval-user bitmap — the plane expansion + where
-        # fuse into the score producer's epilogue (1.33x production eval
-        # at gowalla scale, bit-exact: benchmarks/eval_bits_prod_ab.json)
-        # and the formulation is plain XLA, so it runs on any platform;
-        # factorized models additionally shard_map score+mask+topk over
-        # 'data' on a mesh (GSPMD alone all-gathers in front of TopK)
-        use_bits = item_shard_topk is None and self._premask_enabled()
-        if use_bits:
-            i_p8 = self._items_pad8
-
-            def bits_mask_scores(scores_ip8, bits):
-                """where(-inf) at packed train bits; fuses into the
-                producer's epilogue (scores must be padded to I_p8)."""
-                planes = jnp.arange(8, dtype=jnp.uint8)
-                hit = (
-                    (bits[:, None, :] >> planes[None, :, None])
-                    & jnp.uint8(1)
-                ).reshape(bits.shape[0], i_p8)              # plane-major id
-                return jnp.where(hit != 0, -jnp.inf, scores_ip8)[
-                    :, :num_items
-                ]
-
-            def bits_topk(u_vecs, item_table, bits):
-                scores = jnp.dot(
-                    u_vecs, item_table.T,
-                    preferred_element_type=jnp.float32,
-                )                                           # (B, I_p8)
-                _, topk = jax.lax.top_k(bits_mask_scores(scores, bits), K)
-                return topk
-
-            if (
-                factorized is not None
-                and self.mesh is not None
-                and self.mesh.size > 1
-                and "data" in self.mesh.axis_names
-            ):
-                # GSPMD partitions the fused score matmul fine but
-                # all-gathers the (B, I) matrix in front of TopK (seen in
-                # post-SPMD HLO; guarded by
-                # tests/test_pallas_kernels.py::test_bits_path_partitions_under_mesh)
-                # — shard_map the whole score+mask+topk block over 'data'
-                # so each device ranks only its own batch slice
-                from jax.sharding import PartitionSpec as P
-
-                from neurec_tpu.ops.graph import _shard_map
-
-                shard_map, _rep_kw = _shard_map()
-                bits_topk = shard_map(
-                    bits_topk,
-                    mesh=self.mesh,
-                    in_specs=(P("data"), P(), P("data")),
-                    out_specs=P("data"),
-                    **_rep_kw,
-                )
-        if use_pallas and not use_bits:
-            if (
-                item_shard_topk is None
-                and self.mesh is not None
-                and self.mesh.size > 1
-                and "data" in self.mesh.axis_names
-            ):
-                # pallas_call is not SPMD-partitionable by GSPMD, so under a
-                # multi-chip mesh the kernel is manually partitioned with
-                # shard_map: each device scores+masks its own batch slice
-                # against a (gathered) full item table — the table (I, d) is
-                # far smaller than the score matrix (B, I) a top_k-side
-                # gather would move. Axes the specs don't name ('model')
-                # replicate the kernel; eval scales with the 'data' axis.
-                from jax.sharding import PartitionSpec as P
-
-                from neurec_tpu.ops.graph import _shard_map
-
-                shard_map, _rep_kw = _shard_map()
-                masked_fn = shard_map(
-                    masked_fn,
-                    mesh=self.mesh,
-                    in_specs=(P("data"), P(), P("data")),
-                    out_specs=P("data"),
-                    **_rep_kw,
-                )
-        if mode == "on" and item_shard_topk is None:
+        if (
+            self._item_shard_mode() == "on"
+            and not plan.item_shard
+            and self.user_neg_test is None
+        ):
             # explicit request that cannot engage — say so instead of
             # silently running the replicated-table (or scatter-mask) path
             if jax.process_index() == 0:
@@ -499,87 +395,47 @@ class UniEvaluator:
                     "the replicated evaluator path"
                 )
 
-        def full_catalog_step(
-            params, users, mask_arg, test_rows, test_lens, valid
-        ):
-            # mask_arg: pre-packed bits rows when use_bits, else padded
-            # sorted train rows
-            if use_pallas and item_shard_topk is not None:
-                u_vecs, item_table = factorized(params, users)
-                topk = item_shard_topk(
-                    u_vecs.astype(jnp.float32),
-                    item_table.astype(jnp.float32),
-                    mask_arg,
+        # one top-K function per tier; factorized-style takes
+        # (u_vecs, item_table, mask), predict-style takes (scores, mask)
+        fact_topk = pred_topk = None
+        if plan.name == "item_shard_bits":
+            fact_topk = self._make_item_sharded_bits_topk(K, plan.pack_block)
+        elif plan.name == "item_shard_rows":
+            fact_topk = self._make_item_sharded_topk(K, interpret)
+        elif plan.name in ("bits", "bits_dp"):
+            if plan.kind == "factorized" or plan.hoist:
+                fact_topk = tiers.make_bits_topk(
+                    K, plan.bits_width, num_items,
+                    mesh=self.mesh if plan.dp else None,
                 )
-            elif use_bits and factorized is not None:
-                u_vecs, item_table = factorized(params, users)
-                if self._items_pad8 != num_items:
-                    item_table = jnp.pad(
-                        item_table,
-                        ((0, self._items_pad8 - num_items), (0, 0)),
-                    )
-                topk = bits_topk(
-                    u_vecs.astype(jnp.float32),
-                    item_table.astype(jnp.float32),
-                    mask_arg,
+            if plan.kind == "predict":
+                pred_topk = tiers.make_bits_predict_topk(
+                    K, plan.bits_width, num_items
                 )
-            else:
-                if use_bits:
-                    # non-factorized models: same fused bit-plane mask on
-                    # predict's output (replaces the concat/scatter/slice
-                    # chain); GSPMD behavior matches the old scatter path
-                    scores = predict_fn(params, users).astype(jnp.float32)
-                    if self._items_pad8 != num_items:
-                        scores = jnp.pad(
-                            scores,
-                            ((0, 0), (0, self._items_pad8 - num_items)),
-                            constant_values=-jnp.inf,
-                        )
-                    masked = bits_mask_scores(scores, mask_arg)
-                elif use_pallas:
-                    u_vecs, item_table = factorized(params, users)
-                    masked = masked_fn(
-                        u_vecs.astype(jnp.float32),
-                        item_table.astype(jnp.float32),
-                        mask_arg,
-                    )
-                else:
-                    scores = predict_fn(params, users).astype(jnp.float32)
-                    B = scores.shape[0]
-                    ext = jnp.concatenate(
-                        [scores, jnp.zeros((B, 1), jnp.float32)], axis=1
-                    )
-                    ext = ext.at[jnp.arange(B)[:, None], mask_arg].set(-jnp.inf)
-                    masked = ext[:, :num_items]
-                _, topk = jax.lax.top_k(masked, K)
-            hits = hit_matrix(topk, test_rows, test_lens)
-            m = all_metrics(hits, test_lens)  # (B, 5, K)
-            w = valid.astype(jnp.float32)
-            return jnp.sum(m * w[:, None, None], axis=0), jnp.sum(w)
-
-        def candidate_step(params, users, cand_rows, n_pos, valid):
-            scores = predict_fn(params, users).astype(jnp.float32)
-            B = scores.shape[0]
-            ext = jnp.concatenate(
-                [scores, jnp.full((B, 1), -jnp.inf, jnp.float32)], axis=1
+        elif plan.name in ("pallas", "pallas_dp"):
+            fact_topk = tiers.make_pallas_topk(
+                K, interpret, mesh=self.mesh if plan.dp else None
             )
-            cscores = jnp.take_along_axis(ext, cand_rows, axis=1)  # (B, C)
-            Kc = min(K, cand_rows.shape[1])
-            _, topk = jax.lax.top_k(cscores, Kc)
-            hits = (topk < n_pos[:, None]).astype(jnp.float32)
-            if Kc < K:  # pad rank axis so output shape is (B, 5, K)
-                hits = jnp.pad(hits, ((0, 0), (0, K - Kc)))
-            m = all_metrics(hits, n_pos)
-            w = valid.astype(jnp.float32)
-            return jnp.sum(m * w[:, None, None], axis=0), jnp.sum(w)
+        else:
+            pred_topk = tiers.make_scatter_topk(K, num_items)
 
+        # over-budget bits tables: pack each scan batch's bits on device
+        # from the padded train rows instead of reverting to the scatter
+        # tier (VERDICT r4 next #7)
+        pack_fn = (
+            tiers.make_stream_pack(num_items, plan.pack_block,
+                                   plan.bits_width)
+            if plan.stream
+            else None
+        )
         # models whose item/user tables are user-independent (graph
         # propagation, AE decoders...) expose eval_tables(params) so the
         # table computation hoists OUT of the per-batch scan — XLA does
         # not hoist a loop-invariant pallas_call/SpMM chain itself, so
-        # LightGCN-family eval otherwise re-propagates every batch
+        # LightGCN-family eval otherwise re-propagates every batch. Now
+        # also active under the item-sharded tier (VERDICT r4 #1).
         tables_fn = (
-            getattr(model, "eval_tables", None) if use_bits else None
+            getattr(model, "eval_tables", None) if plan.hoist else None
         )
 
         def metric_tail(topk, sel, valid):
@@ -599,11 +455,6 @@ class UniEvaluator:
             hoisted = None
             if tables_fn is not None:
                 u_table, item_table = tables_fn(params)
-                if self._items_pad8 != num_items:
-                    item_table = jnp.pad(
-                        item_table,
-                        ((0, self._items_pad8 - num_items), (0, 0)),
-                    )
                 hoisted = (
                     u_table.astype(jnp.float32),
                     item_table.astype(jnp.float32),
@@ -612,26 +463,26 @@ class UniEvaluator:
             def body(carry, xs):
                 total, count = carry
                 users, sel, valid = xs
+                if plan.stream:
+                    mask = pack_fn(self._train_rows[users])
+                elif plan.bits:
+                    mask = bits_table[sel]
+                else:
+                    mask = self._train_rows[users]
                 if hoisted is not None:
                     u_table, item_table = hoisted
-                    topk = bits_topk(
-                        u_table[users], item_table, bits_table[sel]
+                    topk = fact_topk(u_table[users], item_table, mask)
+                elif plan.kind == "factorized":
+                    u_vecs, item_table = factorized(params, users)
+                    topk = fact_topk(
+                        u_vecs.astype(jnp.float32),
+                        item_table.astype(jnp.float32),
+                        mask,
                     )
-                    msum, wsum = metric_tail(topk, sel, valid)
                 else:
-                    mask_arg = (
-                        bits_table[sel]
-                        if use_bits
-                        else self._train_rows[users]
-                    )
-                    msum, wsum = full_catalog_step(
-                        params,
-                        users,
-                        mask_arg,
-                        self._test_rows[sel],
-                        self._test_lens[sel],
-                        valid,
-                    )
+                    scores = predict_fn(params, users).astype(jnp.float32)
+                    topk = pred_topk(scores, mask)
+                msum, wsum = metric_tail(topk, sel, valid)
                 return (total + msum, count + wsum), None
 
             init = (jnp.zeros((5, K)), jnp.zeros(()))
@@ -639,6 +490,22 @@ class UniEvaluator:
                 body, init, (users_b, sel_b, valid_b)
             )
             return total, count
+
+        def candidate_step(params, users, cand_rows, n_pos, valid):
+            scores = predict_fn(params, users).astype(jnp.float32)
+            B = scores.shape[0]
+            ext = jnp.concatenate(
+                [scores, jnp.full((B, 1), -jnp.inf, jnp.float32)], axis=1
+            )
+            cscores = jnp.take_along_axis(ext, cand_rows, axis=1)  # (B, C)
+            Kc = min(K, cand_rows.shape[1])
+            _, topk = jax.lax.top_k(cscores, Kc)
+            hits = (topk < n_pos[:, None]).astype(jnp.float32)
+            if Kc < K:  # pad rank axis so output shape is (B, 5, K)
+                hits = jnp.pad(hits, ((0, 0), (0, K - Kc)))
+            m = all_metrics(hits, n_pos)
+            w = valid.astype(jnp.float32)
+            return jnp.sum(m * w[:, None, None], axis=0), jnp.sum(w)
 
         def candidate_all(params, users_b, sel_b, valid_b, bits_table):
             def body(carry, xs):
@@ -655,9 +522,14 @@ class UniEvaluator:
             )
             return total, count
 
-        return jax.jit(full_catalog_all), jax.jit(candidate_all), use_bits
+        return EvalProgram(
+            jax.jit(full_catalog_all),
+            jax.jit(candidate_all),
+            plan.bits and plan.table,
+            plan,
+        )
 
-    def _get_steps(self, predict_fn: PredictFn):
+    def _get_steps(self, predict_fn: PredictFn) -> EvalProgram:
         # bound methods are re-created on every attribute access, so key on
         # (underlying function, instance) — id(predict_fn) would retrace and
         # recompile the whole eval program at every call
@@ -679,9 +551,9 @@ class UniEvaluator:
         """Mean per-user metric matrix, shape (metrics_num, len(top_show))."""
         if self.backend == "native":
             return self._evaluate_raw_native(predict_fn, params, test_users)
-        full_all, cand_all, needs_bits = self._get_steps(predict_fn)
+        full_all, cand_all, needs_bits, plan = self._get_steps(predict_fn)
         bits = (
-            self._get_bits_table()
+            self._get_bits_table(plan.pack_block, plan.bits_width)
             if needs_bits
             else jnp.zeros((1, 1), jnp.uint8)
         )

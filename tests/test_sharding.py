@@ -167,14 +167,19 @@ def test_every_epoch_family_sharded_matches_single(name):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-def test_item_sharded_eval_matches_single_device(tmp_path, monkeypatch):
+@pytest.mark.parametrize("premask", ["auto", "0"])
+def test_item_sharded_eval_matches_single_device(tmp_path, monkeypatch,
+                                                 premask):
     """Big-catalog path (VERDICT r2 weak #7): item table P('model'), local
-    Pallas score+mask per block, all-gather + merge top-K. The merge is
-    exact, so metrics must match the unsharded evaluator to float
-    tolerance. Forced on via NEUREC_EVAL_ITEM_SHARD for the 128-item test
-    catalog (auto only engages at >= 100k items)."""
+    score+mask per block, all-gather + merge top-K. The merge is exact, so
+    metrics must match the unsharded evaluator to float tolerance. Forced
+    on via NEUREC_EVAL_ITEM_SHARD for the tiny test catalog (auto only
+    engages at the HBM-derived threshold). Covers both the composed
+    item_shard_bits default and the legacy item_shard_rows Pallas tier
+    (NEUREC_EVAL_PREMASK=0)."""
     monkeypatch.setenv("NEUREC_EVAL_ITEM_SHARD", "1")
     monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("NEUREC_EVAL_PREMASK", premask)
     make_synthetic_dataset(tmp_path, num_users=60, num_items=80)
     conf = make_config(
         tmp_path,
@@ -197,6 +202,8 @@ def test_item_sharded_eval_matches_single_device(tmp_path, monkeypatch):
     ev_mesh = Evaluator.from_dataset(dataset, conf, mesh=mesh)
     sharded_params = jax.device_put(params, model.param_shardings(mesh))
     r_mesh = ev_mesh.evaluator.evaluate_raw(model.predict, sharded_params)
+    want_tier = "item_shard_bits" if premask == "auto" else "item_shard_rows"
+    assert ev_mesh.evaluator._get_steps(model.predict).plan.name == want_tier
 
     monkeypatch.setenv("NEUREC_EVAL_ITEM_SHARD", "0")
     ev_single = Evaluator.from_dataset(dataset, conf)
@@ -206,14 +213,18 @@ def test_item_sharded_eval_matches_single_device(tmp_path, monkeypatch):
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_item_shard_auto_engages_above_threshold(monkeypatch):
-    """The 100k-item auto threshold must actually switch the evaluator to
-    the item-sharded path (not only the forced NEUREC_EVAL_ITEM_SHARD=1
-    mode) and still match the unsharded evaluator exactly."""
+    """The HBM-budget-derived auto threshold must actually switch the
+    evaluator to the item-sharded path (not only the forced
+    NEUREC_EVAL_ITEM_SHARD=1 mode) and still match the unsharded
+    evaluator exactly."""
     monkeypatch.setenv("NEUREC_PALLAS_INTERPRET", "1")
     monkeypatch.delenv("NEUREC_EVAL_ITEM_SHARD", raising=False)
-    from neurec_tpu.eval.evaluator import _ITEM_SHARD_THRESHOLD, UniEvaluator
+    monkeypatch.delenv("NEUREC_EVAL_PREMASK", raising=False)
+    from neurec_tpu.eval import tiers
+    from neurec_tpu.eval.evaluator import UniEvaluator
 
-    num_items = _ITEM_SHARD_THRESHOLD + 16  # big catalog, tiny interactions
+    # big catalog, tiny interactions; default eval batch_size is 1024
+    num_items = tiers.item_shard_threshold(1024) + 16
     rng = np.random.RandomState(0)
     d, n_users = 8, 8
     table = jnp.asarray(rng.standard_normal((num_items, d)).astype(np.float32))
@@ -233,13 +244,13 @@ def test_item_shard_auto_engages_above_threshold(monkeypatch):
     test = {u: [int(rng.randint(num_items))] for u in range(n_users)}
 
     engaged = {}
-    orig = UniEvaluator._make_item_sharded_topk
+    orig = UniEvaluator._make_item_sharded_bits_topk
 
-    def spy(self, K, interpret):
+    def spy(self, K, pack_block):
         engaged["yes"] = True
-        return orig(self, K, interpret)
+        return orig(self, K, pack_block)
 
-    monkeypatch.setattr(UniEvaluator, "_make_item_sharded_topk", spy)
+    monkeypatch.setattr(UniEvaluator, "_make_item_sharded_bits_topk", spy)
 
     mesh = make_mesh(n_data=4, n_model=2)
     ev_mesh = UniEvaluator(train, test, metric=["Recall", "NDCG"],
