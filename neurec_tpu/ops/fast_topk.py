@@ -52,6 +52,12 @@ def exact_topk_indices(
     ``overflow == 0``. Plain traceable function — callers jit it.
     """
     B, I = x.shape
+    if k > I:
+        # pad columns (-inf) would be selected with indices >= I where
+        # lax.top_k has no row at all — reject statically instead of
+        # leaving it as a caller convention (ADVICE r4)
+        raise ValueError("exact_topk_indices needs k <= row length, got "
+                         "k=%d > I=%d" % (k, I))
     i_pad = (-I) % seg
     if i_pad:
         x = jnp.pad(x, ((0, 0), (0, i_pad)), constant_values=-jnp.inf)
@@ -79,7 +85,13 @@ def exact_topk_indices(
     _, loc = jax.lax.top_k(flat, k)                   # (B, k) flat positions
     owner = jnp.take_along_axis(seg_pick, loc // seg, axis=1)
     idx = owner * seg + loc % seg
-    # pad columns carry -inf and can only be selected when a row has
-    # fewer than k finite values — map them into [0, I) like top_k would
-    # not; callers gate engagement on catalogs with >= k unmasked items
+    # pad columns carry -inf; because hot segments are gathered in
+    # ascending id order, in-range entries always precede pads at equal
+    # value, so with k <= I (enforced above) a pad index is unreachable.
+    # Fold idx >= I into the overflow signal anyway — one (B, k) compare
+    # buys a runtime guarantee instead of a proof obligation (ADVICE r4);
+    # callers already fall back to plain lax.top_k when overflow != 0.
+    overflow = overflow + jnp.sum(
+        jnp.any(idx >= I, axis=1).astype(jnp.int32)
+    )
     return idx.astype(jnp.int32), overflow

@@ -270,6 +270,12 @@ def _pack_factor(d: int, chunk: int) -> int:
     path needs WORSE than the plain row gather, so lane-packing the
     gathered intermediate loses despite halving its physical footprint.
     Kept for narrow-d cases (d<=32) where the padding waste is 4-8x.
+
+    An opt-in factor only engages when the packed row stays lane-exact
+    (``d * pack`` a multiple of 128) — the packed kernel's static lane
+    slices land at multiples of d, which Mosaic rejects off the 128-lane
+    grid — and when the plan's chunk is divisible by it; otherwise the
+    factor halves until both hold (worst case 1 = plain kernel).
     """
     import os
 
@@ -277,7 +283,7 @@ def _pack_factor(d: int, chunk: int) -> int:
     if flag in ("", "auto", "0", "1"):
         return 1
     p = int(flag)
-    while p > 1 and chunk % p != 0:
+    while p > 1 and (chunk % p != 0 or (d * p) % 128 != 0):
         p //= 2
     return max(p, 1)
 
@@ -418,10 +424,11 @@ def plan_spmm(
     (halving the dominant random-access HBM traffic) and runs the selector
     matmul at the MXU's bf16 rate; accumulation stays f32 in the kernel.
 
-    For d < 128 the lane-packed kernel is used (see
-    :func:`_scatter_kernel_packed`): it removes the physical lane padding
-    of the gathered intermediate, the largest HBM stream of the op.
-    NEUREC_SPMM_PACK=1 forces the plain kernel; =2/4 force a factor.
+    The lane-packed kernel (see :func:`_scatter_kernel_packed`) is
+    OPT-IN via NEUREC_SPMM_PACK=2/4 — it removes the physical lane
+    padding of the gathered intermediate but measured slower end-to-end
+    at d=64 (benchmarks/ab_spmm_epoch.json), so the default is the plain
+    kernel; see :func:`_pack_factor` for the engage conditions.
     """
     if compute_dtype is not None and x.dtype != compute_dtype:
         x = x.astype(compute_dtype)

@@ -4,8 +4,17 @@ The reference stops at evaluation; actually *serving* its models means
 re-implementing ranking by hand. Here `batch_topk` produces top-K item
 lists for any set of users in evaluator style: one jitted step per user
 batch — full-catalog scores, already-consumed items masked to -inf via
-padded sorted rows (no (U, I) dense mask), `lax.top_k` on device — and
-only the (B, K) ids/scores ever reach the host.
+the evaluator's fused bit-plane masking (eval/tiers.py), `lax.top_k` on
+device — and only the (B, K) ids/scores ever reach the host.
+
+The consumed-item bits are packed PER BATCH on device from each batch's
+padded rows (the evaluator's streamed-bits tier): device memory is
+bounded at (batch, I/8) bytes regardless of how many users exist or are
+requested, and only requested users are ever packed — unlike r4, which
+materialized a (num_users, I/8) table up front with no budget (ADVICE r4
+medium). The expand + where still fuse into predict's epilogue; unlike
+evaluation, serving runs each user once, so a resident table would buy
+no amortization anyway.
 """
 
 from __future__ import annotations
@@ -17,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from neurec_tpu.data.padded import build_padded_positives
+from neurec_tpu.eval import tiers
 
 
 def batch_topk(
@@ -45,54 +55,40 @@ def batch_topk(
     if users is None:
         users = np.arange(model.num_users, dtype=np.int32)
     users = np.asarray(users, dtype=np.int32)
-    i_p8 = num_items + ((-num_items) % 1024)
-    if train_matrix is not None:
-        # consumed-item masks are static per call: bit-plane-pack them
-        # once (eval/evaluator.py's default path — the expansion +
-        # where fuse into predict's epilogue, replacing the per-batch
-        # (B, I) scatter; 1.33x at gowalla scale,
-        # benchmarks/eval_bits_prod_ab.json)
-        from neurec_tpu.ops.pallas_kernels import pack_train_bits
+    width = tiers.global_bits_width(num_items)
 
-        padded = build_padded_positives(train_matrix)
-        train_rows = jnp.asarray(padded.items)
-        pack = jax.jit(
-            lambda rows: pack_train_bits(rows, num_items, block_items=i_p8)
-        )
-        bits_parts = []
-        for i in range(0, train_rows.shape[0], 4096):
-            bits_parts.append(pack(train_rows[i : i + 4096]))
-        bits_all = (
-            jnp.concatenate(bits_parts, axis=0)
-            if len(bits_parts) > 1
-            else bits_parts[0]
-        )
-    else:
-        bits_all = jnp.zeros((model.num_users, i_p8 // 8), jnp.uint8)
+    rows_np = None
+    if train_matrix is not None:
+        rows_np = build_padded_positives(train_matrix).items  # (U, L) host
+    pack = (
+        tiers.make_stream_pack(num_items, width, width)
+        if rows_np is not None
+        else None
+    )
 
     @jax.jit
-    def step(p, batch_users, bits):
+    def step(p, batch_users, rows):
         scores = model.predict(p, batch_users).astype(jnp.float32)
-        B = scores.shape[0]
-        if i_p8 != num_items:
+        if width != num_items:
             scores = jnp.pad(
-                scores, ((0, 0), (0, i_p8 - num_items)),
+                scores, ((0, 0), (0, width - num_items)),
                 constant_values=-jnp.inf,
             )
-        planes = jnp.arange(8, dtype=jnp.uint8)
-        hit = (
-            (bits[:, None, :] >> planes[None, :, None]) & jnp.uint8(1)
-        ).reshape(B, i_p8)
-        masked = jnp.where(hit != 0, -jnp.inf, scores)[:, :num_items]
-        return jax.lax.top_k(masked, k)
+        if rows is not None:
+            bits = pack(rows)  # (B, width/8), packed on device per batch
+            scores = jnp.where(
+                tiers.bits_expand(bits, width) != 0, -jnp.inf, scores
+            )
+        return jax.lax.top_k(scores[:, :num_items], k)
 
     n = len(users)
     pad = (-n) % batch_size
     padded_users = np.concatenate([users, np.zeros(pad, np.int32)]) if pad else users
     out_scores, out_items = [], []
     for i in range(0, len(padded_users), batch_size):
-        bu = jnp.asarray(padded_users[i : i + batch_size])
-        s, idx = step(params, bu, bits_all[bu])
+        bu = padded_users[i : i + batch_size]
+        rows = jnp.asarray(rows_np[bu]) if rows_np is not None else None
+        s, idx = step(params, jnp.asarray(bu), rows)
         out_scores.append(np.asarray(s))
         out_items.append(np.asarray(idx))
     items = np.concatenate(out_items)[:n]

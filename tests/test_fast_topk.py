@@ -60,3 +60,30 @@ def test_non_segment_multiple_length():
     idx, want, ovf = _check(x, 20)
     assert ovf == 0
     np.testing.assert_array_equal(idx, want)
+
+
+def test_fewer_than_k_finite_values_stays_exact_and_k_gt_I_rejected():
+    """ADVICE r4: rows with < k values above -inf were guarded only by a
+    caller convention. In fact ascending-segment gathering keeps in-range
+    columns ahead of pads at equal value, so with k <= I the result still
+    equals lax.top_k exactly; k > I (the one genuinely unreachable case)
+    is now rejected statically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from neurec_tpu.ops.fast_topk import exact_topk_indices
+
+    I, k = 200, 16  # I not a multiple of seg=128 -> pad columns exist
+    x = np.full((2, I), -np.inf, np.float32)
+    x[0, :3] = [5.0, 4.0, 3.0]  # only 3 values above -inf, < k
+    x[1, :50] = np.arange(50, dtype=np.float32)  # healthy row
+    idx, overflow = exact_topk_indices(jnp.asarray(x), k)
+    want = jax.lax.top_k(jnp.asarray(x), k)[1]
+    if int(overflow) == 0:
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(want))
+    assert np.asarray(idx).max() < I  # never a pad index at overflow 0
+
+    with pytest.raises(ValueError, match="k <= row length"):
+        exact_topk_indices(jnp.asarray(x[:, :8]), k)

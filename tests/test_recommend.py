@@ -53,3 +53,42 @@ def test_batch_topk_subset_and_no_mask(tmp_path):
     for r, u in enumerate(some):
         expect = set(np.argsort(-full[r])[:4].tolist())
         assert set(items[r].tolist()) == expect
+
+
+def test_batch_topk_packs_per_batch_not_per_catalog(tmp_path, monkeypatch):
+    """ADVICE r4 medium: serving must never materialize a (num_users, I/8)
+    bitmap — bits are packed per dispatched batch, for requested users
+    only, so device memory is bounded by batch_size at any user count."""
+    from neurec_tpu.eval import tiers
+
+    make_synthetic_dataset(tmp_path, num_users=25, num_items=40)
+    conf = make_config(tmp_path, recommender="MF",
+                       alg_props={"embedding_size": 8})
+    ds = Dataset(conf)
+    model = get_model("MF")(ds, conf)
+    params = model.init_params(jax.random.PRNGKey(2))
+
+    packed_rows = []
+    orig = tiers.make_stream_pack
+
+    def spy_make(num_items, block, width):
+        fn = orig(num_items, block, width)
+
+        def pack(rows):
+            packed_rows.append(int(rows.shape[0]))
+            return fn(rows)
+
+        return pack
+
+    monkeypatch.setattr(tiers, "make_stream_pack", spy_make)
+    some = np.array([3, 11, 7], dtype=np.int32)
+    items, _ = batch_topk(model, params, k=4, users=some,
+                          train_matrix=ds.train_matrix, batch_size=2)
+    assert items.shape == (3, 4)
+    # pack traced with the BATCH leading dim, never num_users
+    assert packed_rows and all(b == 2 for b in packed_rows), packed_rows
+    full = np.asarray(model.predict(params, some)).astype(np.float32)
+    for r, u in enumerate(some):
+        row = full[r].copy()
+        row[ds.train_matrix[u].indices] = -np.inf
+        assert set(items[r].tolist()) == set(np.argsort(-row)[:4].tolist())
