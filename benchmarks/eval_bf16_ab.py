@@ -1,0 +1,230 @@
+"""bf16-coarse / f32-exact two-pass eval A/B (VERDICT r4 next #6).
+
+The remaining thirds of full-catalog eval at gowalla scale are the
+(B, I) f32 score write and ``lax.top_k`` over it (eval_attrib.json).
+Variant B halves BOTH streams: the score matmul emits bf16 (the MXU
+multiplies in bf16 anyway; emitting bf16 halves the HBM write), the
+bit-plane mask fuses as usual, and a coarse top-(K+margin) runs on the
+bf16 matrix; the (K+margin) candidates are then re-scored EXACTLY in
+f32 (a (B, K+m, d) gather + small contraction) and the final top-K
+taken among them.
+
+Exactness: a true top-K item can only be missed if > margin items
+outrank it in bf16 but not f32. Soundness is CHECKED per row: any
+non-candidate item's f32 score is bounded by
+    ub = v_m + |v_m| * 2^-8 + 1e-30
+(v_m = the (K+m)-th coarse bf16 value; bf16 round-to-nearest relative
+error <= 2^-9, doubled for safety), so if the exact K-th candidate
+score t >= ub the row is PROVABLY exact; rows failing the check are
+counted (a production integration would fall back to the f32 pass for
+that call, as ops/fast_topk.py does).
+
+Protocol (CLAUDE.md doctrine): distinct-params pool, np.asarray-forced,
+interleaved rounds, min. Adopt if >= 1.2x; else this file + JSON are
+the committed refutation (next to eval_topk_ab.json).
+
+Run: python benchmarks/eval_bf16_ab.py [--rounds 6] [--margin 20]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+import numpy as np
+
+from benchmarks.gowalla_northstar import ensure_local_copy
+
+OUT = os.path.join(REPO, "benchmarks", "eval_bf16_ab.json")
+
+
+class _SilentLogger:
+    def info(self, msg):
+        pass
+
+    debug = warning = error = critical = info
+
+
+def build():
+    from neurec_tpu.config import Config
+    from neurec_tpu.data.dataset import Dataset
+    from neurec_tpu.models import get_model
+    from neurec_tpu.trainer import Trainer
+
+    os.environ.pop("NEUREC_EVAL_PREMASK", None)
+    conf = Config(
+        os.path.join(REPO, "NeuRec.properties"),
+        default_section="hyperparameters",
+        cmd_args=[
+            "--recommender=MF",
+            "--data.input.path=%s" % os.path.join(REPO, "dataset"),
+            "--data.input.dataset=gowalla",
+            "--data.column.format=UI", "--data.convert.separator=','",
+            "--splitter=ratio", "--ratio=0.8", "--by_time=False",
+            "--epochs=0", "--embedding_size=64", "--topk=[20]",
+            '--metric=["Recall","NDCG"]', "--test_batch_size=2048",
+        ],
+    )
+    ds = Dataset(conf)
+    m = get_model("MF")(ds, conf)
+    tr = Trainer(m, ds, conf, logger=_SilentLogger())
+    tr.initialize()
+    return m, tr.params, tr.evaluator.evaluator
+
+
+def make_bf16_full_all(ev, model, margin):
+    """Two-pass variant of the evaluator's bits full_catalog_all."""
+    import jax
+    import jax.numpy as jnp
+
+    from neurec_tpu.eval.tiers import bits_expand
+    from neurec_tpu.ops.metrics import all_metrics, hit_matrix
+
+    num_items = ev.num_items
+    width = ev._items_pad8
+    K = min(ev.max_top, num_items)
+    Km = K + margin
+
+    def full_all(params, users_b, sel_b, valid_b, bits_table):
+        def body(carry, xs):
+            total, count, fb = carry
+            users, sel, valid = xs
+            u_f32, it_f32 = model.eval_embeddings(params, users)
+            u_f32 = u_f32.astype(jnp.float32)
+            it_f32 = it_f32.astype(jnp.float32)
+            it_p = jnp.pad(it_f32, ((0, width - num_items), (0, 0)))
+            # coarse pass: bf16 matrix, fused mask, top-(K+m)
+            scores16 = jnp.dot(
+                u_f32.astype(jnp.bfloat16),
+                it_p.astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.bfloat16,
+            )
+            masked16 = jnp.where(
+                bits_expand(bits_table[sel], width) != 0,
+                jnp.bfloat16(-jnp.inf), scores16,
+            )[:, :num_items]
+            cv, ci = jax.lax.top_k(masked16, Km)
+            v_m = cv[:, -1].astype(jnp.float32)
+            # exact pass: f32 re-score of the candidates only
+            cand = it_f32[ci]                         # (B, Km, d)
+            exact = jnp.einsum(
+                "bkd,bd->bk", cand, u_f32,
+                preferred_element_type=jnp.float32,
+            )
+            evals, pos = jax.lax.top_k(exact, K)
+            topk = jnp.take_along_axis(ci, pos, axis=1)
+            t = evals[:, -1]
+            ub = v_m + jnp.abs(v_m) * (2.0 ** -8) + 1e-30
+            fb = fb + jnp.sum((t < ub) & (valid > 0))
+            hits = hit_matrix(topk, ev._test_rows[sel], ev._test_lens[sel])
+            m = all_metrics(hits, ev._test_lens[sel])
+            w = valid.astype(jnp.float32)
+            return (
+                total + jnp.sum(m * w[:, None, None], axis=0),
+                count + jnp.sum(w),
+                fb,
+            ), None
+
+        init = (jnp.zeros((5, K)), jnp.zeros(()), jnp.zeros((), jnp.int32))
+        (total, count, fb), _ = jax.lax.scan(
+            body, init, (users_b, sel_b, valid_b)
+        )
+        return total, count, fb
+
+    return jax.jit(full_all)
+
+
+def main():
+    rounds = int(sys.argv[sys.argv.index("--rounds") + 1]) \
+        if "--rounds" in sys.argv else 6
+    margin = int(sys.argv[sys.argv.index("--margin") + 1]) \
+        if "--margin" in sys.argv else 20
+
+    import jax
+
+    ensure_local_copy()
+    m, p1, ev = build()
+    r_a = ev.evaluate(m.predict, p1)
+    program = ev._get_steps(m.predict)
+    assert program.plan.name == "bits", program.plan
+    fa_a = program.full_all
+    bits = ev._get_bits_table(program.plan.pack_block,
+                              program.plan.bits_width)
+    ub, sb, vb = ev._default_batches
+
+    fa_b = make_bf16_full_all(ev, m, margin)
+    tot, cnt, fb = fa_b(p1, ub, sb, vb, bits)
+    mean = (np.asarray(tot, np.float64) / max(float(cnt), 1.0)).astype(
+        np.float32
+    )
+    k_idx = np.minimum(ev.top_show, ev.num_items) - 1
+    r_b = "\t".join(
+        ("%.8f" % x).ljust(12)
+        for x in mean[ev._metric_rows][:, k_idx].reshape(-1)
+    )
+    fallbacks = int(fb)
+    exact_strings = r_a == r_b
+    print("A:", r_a)
+    print("B:", r_b)
+    print("identical strings:", exact_strings, " bound-check fallbacks:",
+          fallbacks, "/", len(ev.test_users))
+
+    psets = [
+        jax.tree_util.tree_map(lambda x: x * (1.0 + 1e-4 * (i + 1)), p1)
+        for i in range(5)
+    ]
+    for ps in psets:
+        jax.block_until_ready(ps)
+
+    def run(fa, ps_list):
+        t0 = time.perf_counter()
+        for ps in ps_list:
+            np.asarray(fa(ps, ub, sb, vb, bits)[0])
+        return (time.perf_counter() - t0) / len(ps_list)
+
+    run(fa_a, psets[:1])
+    run(fa_b, psets[:1])
+    times = {"A_f32_default": [], "B_bf16_two_pass": []}
+    for r in range(rounds):
+        times["A_f32_default"].append(round(run(fa_a, psets), 4))
+        times["B_bf16_two_pass"].append(round(run(fa_b, psets), 4))
+        print("round %d done" % r, flush=True)
+
+    n = len(ev.test_users)
+    out = {
+        "meta": {
+            "users": n, "num_items": ev.num_items, "K": ev.max_top,
+            "margin": margin, "fallback_rows": fallbacks,
+            "identical_result_strings": bool(exact_strings),
+            "protocol": "distinct-params pool, np.asarray-forced, "
+                        "interleaved rounds, min",
+        },
+        "variants": {},
+    }
+    for k, ts in times.items():
+        out["variants"][k] = {
+            "rounds_s_per_call": ts, "min_s": min(ts),
+            "median_s": sorted(ts)[len(ts) // 2],
+            "users_per_s_at_min": round(n / min(ts)),
+        }
+        print("%-18s min %.4fs/call (%d users/s)" % (k, min(ts), n / min(ts)))
+    speedup = min(times["A_f32_default"]) / min(times["B_bf16_two_pass"])
+    out["meta"]["b_over_a_speedup"] = round(speedup, 3)
+    out["meta"]["verdict"] = (
+        "ADOPT (>=1.2x)" if speedup >= 1.2 and exact_strings and not fallbacks
+        else "REFUTED at %.2fx (adopt bar 1.2x)" % speedup
+    )
+    with open(OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print(out["meta"]["verdict"])
+    print("wrote", OUT)
+
+
+if __name__ == "__main__":
+    main()

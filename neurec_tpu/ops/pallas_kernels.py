@@ -69,10 +69,21 @@ def pack_train_bits(
     which XLA fuses into the score matmul's epilogue
     (eval/evaluator.py use_bits path; benchmarks/eval_attrib3.json).
     """
-    B = train_rows.shape[0]
     i_pad = (-num_items) % block_items
     I_p = num_items + i_pad
     mask = build_train_mask(train_rows, I_p)  # (B, I_p) int8
+    return pack_mask_bits(mask, block_items)
+
+
+def pack_mask_bits(mask: jnp.ndarray, block_items: int) -> jnp.ndarray:
+    """(B, I_p) 0/1 mask -> (B, I_p/8) uint8 bit-plane bytes.
+
+    Same layout as :func:`pack_train_bits` (I_p must be a multiple of
+    ``block_items``); split out so callers that already hold a membership
+    mask — e.g. the evaluator's streamed edge-list tier — can pack
+    without a padded-rows detour.
+    """
+    B, I_p = mask.shape
     m4 = mask.reshape(B, I_p // block_items, 8, block_items // 8)
     weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :, None]
     bits = jnp.sum(m4.astype(jnp.int32) * weights, axis=2)

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neurec_tpu.data.padded import build_padded_positives
 from neurec_tpu.eval import tiers
 
 
@@ -57,14 +56,25 @@ def batch_topk(
     users = np.asarray(users, dtype=np.int32)
     width = tiers.global_bits_width(num_items)
 
-    rows_np = None
-    if train_matrix is not None:
-        rows_np = build_padded_positives(train_matrix).items  # (U, L) host
+    csr = train_matrix.tocsr() if train_matrix is not None else None
     pack = (
         tiers.make_stream_pack(num_items, width, width)
-        if rows_np is not None
+        if csr is not None
         else None
     )
+
+    def batch_rows(batch_users):
+        """Padded rows for ONE batch from CSR, padded to the batch max
+        rounded to a power of two (bounds retraces) — the full
+        (num_users, max_row) host table never exists (heavy-tail cliff,
+        VERDICT r4 #4)."""
+        lens = csr.indptr[batch_users + 1] - csr.indptr[batch_users]
+        L = 1 << (max(int(lens.max()), 1) - 1).bit_length()
+        out = np.full((len(batch_users), L), num_items, np.int32)
+        for r, u in enumerate(batch_users):
+            lo, hi = csr.indptr[u], csr.indptr[u + 1]
+            out[r, : hi - lo] = csr.indices[lo:hi]
+        return out
 
     @jax.jit
     def step(p, batch_users, rows):
@@ -87,7 +97,7 @@ def batch_topk(
     out_scores, out_items = [], []
     for i in range(0, len(padded_users), batch_size):
         bu = padded_users[i : i + batch_size]
-        rows = jnp.asarray(rows_np[bu]) if rows_np is not None else None
+        rows = jnp.asarray(batch_rows(bu)) if csr is not None else None
         s, idx = step(params, jnp.asarray(bu), rows)
         out_scores.append(np.asarray(s))
         out_items.append(np.asarray(idx))
