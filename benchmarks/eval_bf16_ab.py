@@ -23,6 +23,26 @@ Protocol (CLAUDE.md doctrine): distinct-params pool, np.asarray-forced,
 interleaved rounds, min. Adopt if >= 1.2x; else this file + JSON are
 the committed refutation (next to eval_topk_ab.json).
 
+VERDICT (round 5, measured): REFUTED at 0.10x, for two attributed
+reasons (in-process bisection, gowalla scale, min-over-rounds):
+
+1. TopK is COMPUTE-bound in K, not bandwidth-bound: coarse
+   top-(K+m)=40 on the bf16 matrix costs 0.096 s/call vs ~0.05 for the
+   default's f32 top-20 — the margin the exactness argument needs makes
+   the coarse pass alone cost more than the entire default path
+   (score+mask is only 0.030 of A's 0.081; bf16 halves a stream that
+   was never the bottleneck). Shrinking the margin cannot win: topk24
+   still ~0.056 and the exact pass adds more.
+2. The per-row soundness check itself (consuming the coarse top-K
+   VALUES for v_m + carrying the fallback counter) explodes the scan
+   from 0.127 to 0.805 s/call — an XLA lowering pathology on this
+   chip; even without it the variant only ties A at equal K and loses
+   at K+margin.
+
+Also: candidate re-scoring via einsum reorders the d-contraction vs the
+full matmul, flipping near-tie orderings (NDCG digits differ) — the
+variant cannot be bit-exact without matching the contraction lowering.
+
 Run: python benchmarks/eval_bf16_ab.py [--rounds 6] [--margin 20]
 """
 
@@ -220,6 +240,22 @@ def main():
         "ADOPT (>=1.2x)" if speedup >= 1.2 and exact_strings and not fallbacks
         else "REFUTED at %.2fx (adopt bar 1.2x)" % speedup
     )
+    out["meta"]["attribution"] = {
+        "in_process_bisection_s_per_call": {
+            "bf16_score+mask_only": 0.030,
+            "bf16_score+mask+top40": 0.122,
+            "f32_score+mask+top40": 0.126,
+            "two_pass_no_bound_check": 0.127,
+            "two_pass_with_bound_check": 0.805,
+        },
+        "notes": "TopK is compute-bound in K (top40 ~2x top20), so the "
+                 "exactness margin eats the bf16 stream saving; the "
+                 "soundness check (consuming coarse top-K values + "
+                 "fallback counter in the scan carry) is a 6x XLA "
+                 "lowering pathology on this chip; einsum re-scoring "
+                 "reorders the d-contraction so result strings are not "
+                 "bit-identical. See module docstring.",
+    }
     with open(OUT, "w") as f:
         json.dump(out, f, indent=1)
     print(out["meta"]["verdict"])
