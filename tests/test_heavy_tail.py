@@ -231,3 +231,51 @@ def test_zipf_grouped_subset_eval_matches(monkeypatch):
     got = ev_str.evaluate(model.predict, params, subset)
     assert ev_str._get_steps(model.predict).plan.stream
     assert got == want
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_bloom_exclusion_trains_on_mesh(tmp_path, monkeypatch):
+    """Bloom-exclusion sampling must compose with the (4,2) mesh epochs:
+    same seed on mesh and single device gives numerically close params
+    (the Bloom table is replicated; draws and membership are identical)."""
+    import neurec_tpu.trainer as trainer_mod
+    from neurec_tpu.data.dataset import Dataset
+    from neurec_tpu.models import get_model
+    from neurec_tpu.parallel.mesh import make_mesh
+    from neurec_tpu.trainer import Trainer
+    from tests.helpers import make_config, make_synthetic_dataset
+
+    make_synthetic_dataset(tmp_path, num_users=60, num_items=80)
+    conf = make_config(
+        tmp_path, recommender="MF",
+        alg_props={
+            "epochs": 2, "batch_size": 64, "embedding_size": 8,
+            "reg_mf": 0.0, "learning_rate": 0.05, "learner": "adam",
+            "num_negatives": 1, "is_pairwise": "True",
+            "loss_function": "bpr", "init_method": "normal",
+            "stddev": 0.01, "verbose": 2,
+        },
+    )
+    dataset = Dataset(conf)
+    monkeypatch.setattr(trainer_mod, "_EXCL_TABLE_BUDGET", 0)
+
+    class SilentLogger:
+        def info(self, msg):
+            pass
+
+        debug = warning = error = critical = info
+
+    results = []
+    for mesh in (None, make_mesh(n_data=4, n_model=2)):
+        model = get_model("MF")(dataset, conf)
+        tr = Trainer(model, dataset, conf, mesh=mesh, logger=SilentLogger())
+        assert tr._excl_bloom is not None
+        tr.initialize()
+        key = jax.random.PRNGKey(3)
+        for e in range(2):
+            tr.params, tr.opt_state, _ = tr._epoch_fn(
+                tr.params, tr.opt_state, jax.random.fold_in(key, e),
+                jnp.int32(e + 1),
+            )
+        results.append(np.asarray(tr.params["item_emb"]))
+    np.testing.assert_allclose(results[0], results[1], rtol=5e-3, atol=1e-4)

@@ -56,10 +56,15 @@ CASES = [
     # GroupedEvaluator under 2 processes (buckets by #train interactions)
     ("MF:grouped", "MF", MF_PROPS, {"group_view": "[10, 20, 40]"}, True, 2,
      {}),
-    # item-sharded eval merge (table P('model'), all_gather top-K) under
-    # 2 real processes — the exact-merge must equal the plain evaluator
+    # item-sharded eval merge under 2 real processes — the exact merge
+    # must equal the plain evaluator. Default premask -> the composed
+    # item_shard_bits tier (bits byte columns P(None,'model'))
     ("MF:itemshard", "MF", MF_PROPS, {}, False, 2,
      {"NEUREC_EVAL_ITEM_SHARD": "1", "NEUREC_PALLAS_INTERPRET": "1"}),
+    # legacy Pallas row-mask item shard (NEUREC_EVAL_PREMASK=0)
+    ("MF:itemshard_rows", "MF", MF_PROPS, {}, False, 2,
+     {"NEUREC_EVAL_ITEM_SHARD": "1", "NEUREC_PALLAS_INTERPRET": "1",
+      "NEUREC_EVAL_PREMASK": "0"}),
 ]
 
 
