@@ -55,11 +55,12 @@ def test_batch_topk_subset_and_no_mask(tmp_path):
         assert set(items[r].tolist()) == expect
 
 
-def test_batch_topk_packs_per_batch_not_per_catalog(tmp_path, monkeypatch):
-    """ADVICE r4 medium: serving must never materialize a (num_users, I/8)
-    bitmap — bits are packed per dispatched batch, for requested users
-    only, so device memory is bounded by batch_size at any user count."""
-    from neurec_tpu.eval import tiers
+def test_batch_topk_masks_per_batch_not_per_catalog(tmp_path):
+    """ADVICE r4 medium + single-dispatch rework: serving must never
+    materialize a (num_users, *) mask structure — consumed items ride as
+    per-batch edge pairs sized by the max interactions in ONE batch, for
+    requested users only, so memory is bounded at any user count."""
+    from neurec_tpu.recommend import _batch_edges_from_csr
 
     make_synthetic_dataset(tmp_path, num_users=25, num_items=40)
     conf = make_config(tmp_path, recommender="MF",
@@ -68,27 +69,25 @@ def test_batch_topk_packs_per_batch_not_per_catalog(tmp_path, monkeypatch):
     model = get_model("MF")(ds, conf)
     params = model.init_params(jax.random.PRNGKey(2))
 
-    packed_rows = []
-    orig = tiers.make_stream_pack
-
-    def spy_make(num_items, block, width):
-        fn = orig(num_items, block, width)
-
-        def pack(rows):
-            packed_rows.append(int(rows.shape[0]))
-            return fn(rows)
-
-        return pack
-
-    monkeypatch.setattr(tiers, "make_stream_pack", spy_make)
     some = np.array([3, 11, 7], dtype=np.int32)
     items, _ = batch_topk(model, params, k=4, users=some,
                           train_matrix=ds.train_matrix, batch_size=2)
     assert items.shape == (3, 4)
-    # pack traced with the BATCH leading dim, never num_users
-    assert packed_rows and all(b == 2 for b in packed_rows), packed_rows
     full = np.asarray(model.predict(params, some)).astype(np.float32)
     for r, u in enumerate(some):
         row = full[r].copy()
         row[ds.train_matrix[u].indices] = -np.inf
         assert set(items[r].tolist()) == set(np.argsort(-row)[:4].tolist())
+
+    # edge arrays: only the REQUESTED users' interactions, padded to the
+    # max per batch (not num_users x max_row)
+    csr = ds.train_matrix.tocsr()
+    users_pad = np.array([3, 11, 7, 0], np.int32)
+    ei, eu = _batch_edges_from_csr(csr, users_pad, 3, 2, 2)
+    nnz_req = sum(
+        csr.indptr[u + 1] - csr.indptr[u] for u in (3, 11, 7)
+    )
+    assert ei.shape[0] == 2
+    assert ei.size <= 2 * (nnz_req + 8)
+    # pad slots use local id B (dropped by the scatter)
+    assert eu.max() <= 2
