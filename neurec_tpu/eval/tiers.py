@@ -78,6 +78,16 @@ SCORE_BLOCK_BUDGET = 384 * 1024 * 1024
 _LANE_ITEMS = 1024  # bit-packed width granularity: I/8 bytes on 128 lanes
 
 
+def _bits_budget() -> int:
+    """Resident bits-table budget; NEUREC_EVAL_BITS_BUDGET (bytes)
+    overrides the default — mainly for forcing the streamed tier in
+    subprocess tests and memory-constrained deployments."""
+    import os
+
+    env = os.environ.get("NEUREC_EVAL_BITS_BUDGET", "")
+    return int(env) if env else BITS_TABLE_BUDGET
+
+
 def item_shard_threshold(batch_size: int) -> int:
     """Catalog size at which auto item-sharding engages.
 
@@ -171,7 +181,7 @@ def select_tier(
     ADVICE r4 low #2).
     """
     if bits_budget is None:
-        bits_budget = BITS_TABLE_BUDGET
+        bits_budget = _bits_budget()
     if neg_protocol:
         return _no_bits("scatter", "predict")
 

@@ -34,10 +34,9 @@ def _make(R, **over):
     return ItemKNN(_FakeDataset(R), conf)
 
 
-def _oracle_ratings(R, mode, K, shrink=0.0, a_asym=0.5, a_tv=1.0, b_tv=1.0):
-    """Dense numpy mirror of the reference: blocked column similarities,
-    self zeroed, per-column top-K, ratings = R @ W (original R)."""
-    U, I = R.shape
+def _oracle_sims(R, mode, shrink=0.0, a_asym=0.5, a_tv=1.0, b_tv=1.0):
+    """Dense numpy mirror of the reference's column similarities
+    (self zeroed), sim[c, i] for query column c."""
     Rs = R.copy()
     if mode == "adjusted":
         cnt = np.maximum((R != 0).sum(axis=1, keepdims=True), 1)
@@ -47,7 +46,7 @@ def _oracle_ratings(R, mode, K, shrink=0.0, a_asym=0.5, a_tv=1.0, b_tv=1.0):
         cnt = np.maximum((R != 0).sum(axis=0, keepdims=True), 1)
         mean = R.sum(axis=0, keepdims=True) / cnt
         Rs = np.where(R != 0, R - mean, 0.0)
-    dot = Rs.T @ Rs                       # (I, I); sim[c, i] for query col c
+    dot = Rs.T @ Rs
     ss = np.sum(Rs * Rs, axis=0)
     norms = np.sqrt(ss)
     if mode in ("cosine", "adjusted", "pearson"):
@@ -72,6 +71,14 @@ def _oracle_ratings(R, mode, K, shrink=0.0, a_asym=0.5, a_tv=1.0, b_tv=1.0):
         sim = 1.0 / (np.sqrt(d2) + shrink + 1e-9)
     if mode != "euclidean":
         np.fill_diagonal(sim, 0.0)
+    return sim
+
+
+def _oracle_ratings(R, mode, K, **kw):
+    """Reference end-to-end: per-column top-K, ratings = R @ W
+    (original R — reference ItemKNN.py:573)."""
+    sim = _oracle_sims(R, mode, **kw)
+    U, I = R.shape
     ratings = np.zeros((U, I), np.float64)
     for c in range(I):
         idx = np.argsort(-sim[c], kind="stable")[:K]
@@ -90,17 +97,58 @@ def _rand_R(seed=0, U=30, I=45, density=0.25):
     return R.astype(np.float32)
 
 
-@pytest.mark.parametrize(
-    "mode", ["cosine", "asymmetric", "adjusted", "pearson", "jaccard",
-             "dice", "tversky", "euclidean"],
-)
+_MODES = ["cosine", "asymmetric", "adjusted", "pearson", "jaccard",
+          "dice", "tversky", "euclidean"]
+
+
+@pytest.mark.parametrize("mode", _MODES)
 def test_all_similarities_match_dense_oracle(mode):
-    R = _rand_R(seed=hash(mode) % 1000)
+    """Selection + aggregation parity for every similarity mode.
+
+    Full-pipeline rating equality is fp-CHAOTIC for the centered and
+    euclidean modes (similarities agree to ~1e-6, but a near-tie at the
+    K boundary flips which neighbor is chosen, and euclidean's
+    1/sqrt(dist) spikes amplify last-ulp dist differences) — an early
+    revision seeded fixtures by randomized str hash and flaked on
+    exactly this. The robust decomposition:
+
+    * SELECTION: the model's top-K similarity VALUES per column equal
+      the oracle's (sorted; identical under ties regardless of which
+      tied neighbor was picked);
+    * AGGREGATION: predict equals the numpy R @ W computed from the
+      model's own (w_idx, w_vals) with ORIGINAL ratings.
+    """
+    R = _rand_R(seed=_MODES.index(mode))
     # block smaller than I to exercise the multi-block path
     model = _make(R, similarity=mode, neighbor=5, knn_block=16)
     params = model.init_params(jax.random.PRNGKey(0))
+
+    sim = _oracle_sims(R, mode)
+    want_vals = -np.sort(-sim, axis=1)[:, :5]          # (I, K) descending
+    got_vals = np.asarray(params["w_vals"])            # already descending
+    np.testing.assert_allclose(got_vals, want_vals, rtol=2e-4, atol=2e-4)
+
     users = np.arange(R.shape[0], dtype=np.int32)
     got = np.asarray(model.predict(params, users))
+    w_idx = np.asarray(params["w_idx"])
+    w_val = np.asarray(params["w_vals"])
+    want = np.zeros_like(got, dtype=np.float64)
+    for c in range(R.shape[1]):
+        for k in range(w_idx.shape[1]):
+            want[:, c] += R[:, w_idx[c, k]] * w_val[c, k]
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["cosine", "jaccard", "dice", "tversky",
+                                  "asymmetric"])
+def test_uncentered_modes_full_pipeline_equals_oracle(mode):
+    """For the well-conditioned (uncentered) modes the END-TO-END
+    ratings also match the dense reference oracle exactly."""
+    R = _rand_R(seed=_MODES.index(mode))
+    model = _make(R, similarity=mode, neighbor=5, knn_block=16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    got = np.asarray(model.predict(params, np.arange(R.shape[0],
+                                                     dtype=np.int32)))
     want = _oracle_ratings(R, mode, K=5)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 

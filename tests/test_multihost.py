@@ -65,6 +65,10 @@ CASES = [
     ("MF:itemshard_rows", "MF", MF_PROPS, {}, False, 2,
      {"NEUREC_EVAL_ITEM_SHARD": "1", "NEUREC_PALLAS_INTERPRET": "1",
       "NEUREC_EVAL_PREMASK": "0"}),
+    # streamed bits tier (over-budget table -> per-batch edge packing)
+    # under 2 real processes: the edge arrays must be globally placed
+    ("MF:stream", "MF", MF_PROPS, {}, False, 2,
+     {"NEUREC_EVAL_BITS_BUDGET": "1"}),
 ]
 
 
