@@ -41,19 +41,20 @@ _MIX_U2 = 0xC2B2AE35
 _MIX_I2 = 0x27D4EB2F
 
 BITS_PER_ENTRY = 8
-K_HASH = 5  # ~optimal at 8 bits/entry (m/n * ln2 = 5.5); FP ~2.2%
+K_HASH = 5  # ~optimal FP at 8 bits/entry (m/n * ln2 = 5.5); FP ~2.2%
 
 
 class PairBloom(NamedTuple):
     table: np.ndarray  # (m/8,) uint8 bit array
     n_bits: int        # m, a power of two
+    k_hash: int = K_HASH  # hashes used at BUILD time (probe with same k)
 
     def nbytes(self) -> int:
         return self.table.nbytes
 
 
-def _hashes(users, items, n_bits, xp=np):
-    """K_HASH slot indices per pair via double hashing, identical math on
+def _hashes(users, items, n_bits, k, xp=np):
+    """k slot indices per pair via double hashing, identical math on
     host (numpy) and device (jnp): h_j = h1 + j*h2 (mod m), h2 odd."""
     u = users.astype(xp.uint32)
     i = items.astype(xp.uint32)
@@ -62,21 +63,30 @@ def _hashes(users, items, n_bits, xp=np):
     h2 = ((u * xp.uint32(_MIX_U2)) ^ (i * xp.uint32(_MIX_I2))) | xp.uint32(1)
     mask = xp.uint32(n_bits - 1)
     return [
-        ((h1 + xp.uint32(j) * h2) & mask) for j in range(K_HASH)
+        ((h1 + xp.uint32(j) * h2) & mask) for j in range(k)
     ]
 
 
-def build_pair_bloom(users, items) -> PairBloom:
-    """Host build from parallel (nnz,) user/item id arrays."""
+def build_pair_bloom(users, items, k_hash: int = K_HASH) -> PairBloom:
+    """Host build from parallel (nnz,) user/item id arrays.
+
+    ``k_hash`` trades false-positive rate for probe gathers — the device
+    probe cost is k random byte gathers per candidate, the dominant cost
+    of Bloom-excluded sampling (the gathers, not dispatch, were measured
+    to be 56% of a heavy-tail epoch at k=5 x 16 rounds). At 8 bits/entry:
+    k=5 -> FP ~2.2%, k=3 -> FP ~3.1%, k=2 -> FP ~4.9%. FPs only cost
+    extra rejections; exclusion exactness (no false negatives) holds at
+    any k.
+    """
     users = np.asarray(users)
     items = np.asarray(items)
     n = max(len(users), 1)
     n_bits = 1 << max(int(np.ceil(np.log2(n * BITS_PER_ENTRY))), 6)
     table = np.zeros(n_bits // 8, np.uint8)
-    for h in _hashes(users, items, n_bits):
+    for h in _hashes(users, items, n_bits, k_hash):
         np.bitwise_or.at(table, (h >> 3).astype(np.int64),
                          np.uint8(1) << (h & 7).astype(np.uint8))
-    return PairBloom(table=table, n_bits=n_bits)
+    return PairBloom(table=table, n_bits=n_bits, k_hash=k_hash)
 
 
 def is_positive_bloom(
@@ -84,14 +94,15 @@ def is_positive_bloom(
     n_bits: int,
     users: jnp.ndarray,      # (B,)
     candidates: jnp.ndarray,  # (B, ...) item ids
+    k_hash: int = K_HASH,    # must equal the build-time k
 ) -> jnp.ndarray:
     """True where (user, candidate) MAY be in the set (no false
-    negatives; ~2% false positives). Traceable; the K_HASH probe loop
-    unrolls into byte gathers + bit tests."""
+    negatives; a few % false positives, see build_pair_bloom). Traceable;
+    the probe loop unrolls into k byte gathers + bit tests."""
     cand2d = candidates.reshape(candidates.shape[0], -1)      # (B, S)
     u2d = jnp.broadcast_to(users[:, None], cand2d.shape)
     hit = None
-    for h in _hashes(u2d, cand2d, n_bits, xp=jnp):
+    for h in _hashes(u2d, cand2d, n_bits, k_hash, xp=jnp):
         h = h.astype(jnp.uint32)
         byte = table[(h >> 3).astype(jnp.int32)]
         bit = (byte >> (h & jnp.uint32(7)).astype(jnp.uint8)) & jnp.uint8(1)
@@ -107,6 +118,7 @@ def sample_negatives_bloom(
     num_items: int,
     shape: tuple,
     num_rounds: int = 16,
+    k_hash: int = K_HASH,
 ) -> jnp.ndarray:
     """``ops.sampling.sample_negatives`` semantics (bounded rejection,
     first non-flagged draw, round-0 fallback) with Bloom membership —
@@ -118,7 +130,7 @@ def sample_negatives_bloom(
     draws = jax.random.randint(
         key, (B, num_rounds * S), 0, num_items, dtype=jnp.int32
     )
-    member = is_positive_bloom(table, n_bits, users, draws)
+    member = is_positive_bloom(table, n_bits, users, draws, k_hash)
     if S == 1:
         first = jnp.argmax(~member, axis=1)
         chosen = jnp.take_along_axis(draws, first[:, None], axis=1)[:, 0]

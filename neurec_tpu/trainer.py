@@ -182,8 +182,10 @@ class Trainer:
             from neurec_tpu.ops.bloom import build_pair_bloom
 
             coo = dataset.train_matrix.tocoo()
-            bf = build_pair_bloom(coo.row, coo.col)
-            self._excl_bloom = (jnp.asarray(bf.table), bf.n_bits)
+            # k=3 hashes: the probe gathers are the dominant sampling
+            # cost and FPs only cost extra rejections (see ops/bloom.py)
+            bf = build_pair_bloom(coo.row, coo.col, k_hash=3)
+            self._excl_bloom = (jnp.asarray(bf.table), bf.n_bits, bf.k_hash)
             if jax.process_index() == 0:
                 self.logger.info(
                     "sampler exclusion: pair Bloom filter (%.1f MB, %d "
@@ -280,16 +282,52 @@ class Trainer:
             jnp.asarray(self._recent_flat) if self._recent_flat is not None else None
         )
         if self._excl_bloom is not None:
-            from neurec_tpu.ops.bloom import sample_negatives_bloom
+            # Bloom path: negatives for the WHOLE epoch are pre-drawn in
+            # one vectorized chunked pass BEFORE the train scan — in-scan
+            # Bloom probes are thousands of tiny serialized gathers and
+            # measured 56% of a heavy-tail epoch (2.40 -> 1.07 s/epoch
+            # with sampling ablated, benchmarks doctrine); bulk probing
+            # millions of candidates at once is bandwidth-bound instead.
+            from neurec_tpu.ops.bloom import is_positive_bloom
 
-            bloom_table, n_bits = self._excl_bloom
+            bloom_table, n_bits, k_hash = self._excl_bloom
+            # 6 rejection rounds (vs sample_negatives' 16): a kept
+            # positive needs ALL rounds flagged AND the round-0 draw to
+            # be a true positive — (d + FP)^6 * d/(d+FP), ~1e-9 at 1%
+            # density with the k=3 filter's ~3% FP. The Bloom path only
+            # engages on heavy-tail (low-density) data.
+            _R = 6
+            _C = 8192  # pre-draw chunk: (C, R) draws + probes per step
 
-            def draw_negs(k_neg, users, shape):
-                return sample_negatives_bloom(
-                    k_neg, users, bloom_table, n_bits, num_items, shape
+            def predraw_negs(key, users_all):
+                n = users_all.shape[0]
+                chunks = -(-n // _C)
+                u_pad = jnp.pad(users_all, (0, chunks * _C - n))
+
+                def body(carry, xs):
+                    ku, users_c = xs
+                    draws = jax.random.randint(
+                        ku, (_C, _R), 0, num_items, dtype=jnp.int32
+                    )
+                    member = is_positive_bloom(
+                        bloom_table, n_bits, users_c, draws, k_hash
+                    )
+                    first = jnp.argmax(~member, axis=1)
+                    chosen = jnp.take_along_axis(
+                        draws, first[:, None], axis=1
+                    )[:, 0]
+                    return carry, chosen
+
+                keys = jax.random.split(key, chunks)
+                _, negs = jax.lax.scan(
+                    body, 0, (keys, u_pad.reshape(chunks, _C))
                 )
+                return negs.reshape(-1)[:n]
+
+            draw_negs = None
         else:
             padded_items = self._padded_items
+            predraw_negs = None
 
             def draw_negs(k_neg, users, shape):
                 rows = self.dp_constrain(padded_items[users])
@@ -304,21 +342,28 @@ class Trainer:
         def epoch(params, opt_state, key, epoch_idx):
             def step(carry, xs):
                 params, opt_state = carry
-                inst, w, key = xs
+                if predraw_negs is not None:
+                    inst, w, key, negs_pre = xs
+                else:
+                    inst, w, key = xs
                 inst, w = self.dp_constrain(inst, w)
                 k_neg, k_model = jax.random.split(key)
                 base = inst % N if not pairwise else inst
                 users, pos = self.dp_constrain(
                     users_flat[base], pos_flat[base]
                 )
+                negs = (
+                    negs_pre
+                    if predraw_negs is not None
+                    else draw_negs(k_neg, users, ())
+                )
                 if pairwise:
-                    negs = self.dp_constrain(draw_negs(k_neg, users, ()))
+                    negs = self.dp_constrain(negs)
                     batch = {"users": users, "pos_items": pos,
                              "neg_items": negs, "rng": k_model,
                              "epoch": epoch_idx}
                 else:
                     is_pos = inst < N
-                    negs = draw_negs(k_neg, users, ())
                     items, labels = self.dp_constrain(
                         jnp.where(is_pos, pos, negs),
                         is_pos.astype(jnp.float32),
@@ -343,10 +388,16 @@ class Trainer:
             inst = jnp.where(perm < n_inst, perm, 0).astype(jnp.int32)
             w = (perm < n_inst).astype(jnp.float32)
             step_keys = jax.random.split(kn, steps)
+            xs = (inst.reshape(steps, B), w.reshape(steps, B), step_keys)
+            if predraw_negs is not None:
+                kd = jax.random.fold_in(kn, 1)
+                base_all = inst % N if not pairwise else inst
+                negs_all = predraw_negs(kd, users_flat[base_all])
+                xs = xs + (negs_all.reshape(steps, B),)
             (params, opt_state), losses = jax.lax.scan(
                 step,
                 (params, opt_state),
-                (inst.reshape(steps, B), w.reshape(steps, B), step_keys),
+                xs,
                 unroll=self.scan_unroll,
             )
             return params, opt_state, jnp.sum(losses) / steps
