@@ -80,6 +80,18 @@ def test_selection_matrix():
     assert not _sel(has_tables=True, premask=False).hoist
 
 
+def test_bits_budget_env_override(monkeypatch):
+    """NEUREC_EVAL_BITS_BUDGET forces the streamed tier without code
+    (subprocess tests / memory-constrained deployments)."""
+    monkeypatch.setenv("NEUREC_EVAL_BITS_BUDGET", "1")
+    p = _sel()
+    assert (p.name, p.stream) == ("bits", True)
+    monkeypatch.setenv("NEUREC_EVAL_BITS_BUDGET", str(1 << 40))
+    assert _sel().table
+    monkeypatch.delenv("NEUREC_EVAL_BITS_BUDGET")
+    assert _sel().table  # default budget restored
+
+
 def test_item_shard_threshold_formula():
     """threshold = SCORE_BLOCK_BUDGET / (4 bytes * batch): the catalog size
     where one replicated (B, I) f32 score block exceeds the per-device
