@@ -91,9 +91,9 @@ def main():
             "w_table": round(
                 (params["w_vals"].nbytes + params["w_idx"].nbytes) / 2**20, 1
             ),
-            "user_rows": round(
-                (params["row_items"].nbytes + params["row_vals"].nbytes)
-                / 2**20, 1
+            "user_rows_csr": round(
+                (params["row_offsets"].nbytes + params["flat_items"].nbytes
+                 + params["flat_vals"].nbytes) / 2**20, 1
             ),
         },
         "r4_dense_R_mb_BEFORE": round(args.users * args.items * 4 / 2**20, 1),

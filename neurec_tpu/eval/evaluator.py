@@ -216,21 +216,29 @@ class UniEvaluator:
         self._default_edges_cache = None  # streamed-tier edge pairs
         # explicit-user-list (grouped eval) batch blocks, keyed EXACTLY
         # by the id array bytes — r4 weak #6: groups re-did host prep +
-        # device_puts every call
-        self._subset_batch_cache: Dict[bytes, tuple] = {}
-        self._subset_batch_host: Dict[bytes, tuple] = {}
+        # device_puts every call. LRU-bounded so ad-hoc varying subsets
+        # cannot pin device arrays without limit (grouped eval reuses a
+        # handful of fixed lists and always hits).
+        self._subset_batch_cache: "OrderedDict[bytes, tuple]" = OrderedDict()
+        self._subset_batch_host: "OrderedDict[bytes, tuple]" = OrderedDict()
+        self._subset_cache_max = 32
         # packed train-mask bitmaps, keyed by (pack_block, width) layout
         self._bits_tables: Dict[Tuple[int, int], jnp.ndarray] = {}
 
-    def _host_rows(self, users, min_len: int = 1) -> np.ndarray:
+    def _host_rows(self, users, min_len: int = 1,
+                   pad_to: Optional[int] = None) -> np.ndarray:
         """Padded sorted train rows for the given users only, padded to
         the GROUP's max length rounded to a power of two (bounds jit
-        retraces across groups) — never to the global max row."""
+        retraces across groups; ``pad_to`` pins an exact width) — never
+        to the global max row."""
         rows = self.user_pos_train
         users = np.asarray(users)
         lens = [len(rows.get(int(u), ())) for u in users]
-        L = max(max(lens, default=0), min_len)
-        L = 1 << (L - 1).bit_length()
+        if pad_to is None:
+            L = max(max(lens, default=0), min_len)
+            L = 1 << (L - 1).bit_length()
+        else:
+            L = pad_to
         out = np.full((len(users), L), self.num_items, dtype=np.int32)
         for r, u in enumerate(users):
             items = rows.get(int(u), ())
@@ -360,14 +368,26 @@ class UniEvaluator:
             pack = jax.jit(
                 tiers.make_stream_pack(self.num_items, pack_block, width)
             )
+            # ONE (chunk, L_pow2) shape for every chunk (tail padded with
+            # all-pad rows): distinct per-chunk shapes would serialize
+            # several slow remote compiles per evaluator. The (chunk, L)
+            # host transient is not the resident padded table — only the
+            # test users' rows, one chunk at a time.
+            L = max(
+                max(
+                    (len(self.user_pos_train.get(int(u), ()))
+                     for u in self.test_users),
+                    default=0,
+                ),
+                1,
+            )
+            L = 1 << (L - 1).bit_length()
             parts = []
             for lo in range(0, n, chunk):
-                # host rows per chunk (padded to the CHUNK's own max) —
-                # the global padded table never materializes on device
-                rows = jnp.asarray(
-                    self._host_rows(self.test_users[lo : min(lo + chunk, n)])
-                )
-                parts.append(pack(rows))
+                rows_np = np.full((chunk, L), self.num_items, np.int32)
+                sel = self.test_users[lo : min(lo + chunk, n)]
+                rows_np[: len(sel), :] = self._host_rows(sel, pad_to=L)
+                parts.append(pack(jnp.asarray(rows_np))[: len(sel)])
             table = (
                 jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
             )
@@ -495,8 +515,13 @@ class UniEvaluator:
             width, blk = plan.bits_width, plan.pack_block
 
             def pack_edges(e_items, e_users, B):
+                # biggest streamed transient: ONE (B, width) byte mask
+                # per scan step (pack_mask_bits stays uint8 throughout).
+                # At extreme widths under the item-sharded tier this is
+                # B bytes per item — shrink test_batch_size in config if
+                # a deployment needs to bound it further.
                 mask = (
-                    jnp.zeros((B, width), jnp.int8)
+                    jnp.zeros((B, width), jnp.uint8)
                     .at[e_users, e_items]
                     .set(1, mode="drop")  # pad slot == B drops
                 )
@@ -658,6 +683,7 @@ class UniEvaluator:
             ck = users.tobytes()
             hit = self._subset_batch_cache.get(ck)
             if hit is not None:
+                self._subset_batch_cache.move_to_end(ck)
                 users_b, sel_b, valid_b, edges = hit
                 if plan.stream:
                     if edges is None:
@@ -726,6 +752,9 @@ class UniEvaluator:
                 mask_data = edges
             self._subset_batch_cache[ck] = (users_b, sel_b, valid_b, edges)
             self._subset_batch_host[ck] = (users_pad, valid, n_batches, B)
+            while len(self._subset_batch_cache) > self._subset_cache_max:
+                old_key, _ = self._subset_batch_cache.popitem(last=False)
+                self._subset_batch_host.pop(old_key, None)
         return self._finish_eval(
             full_all, cand_all, params, users_b, sel_b, valid_b, mask_data
         )

@@ -26,10 +26,13 @@ only dense (U, Bc) column slices exist at a time — built on device by a
 scatter from per-block COO triples — and the (Bc, I) similarity row-block
 comes from Bc x Bc MXU matmuls between slice pairs inside a two-level
 ``lax.scan``. The neighbor weights are kept SPARSE as (I, K) (vals, idx)
-columns, and ``predict`` aggregates per user batch with K column gathers
-over an on-the-fly (B, I) batch slice — so peak memory is
-O(U*Bc + Bc*I + B*I), never O(U*I) (the reference itself densifies only
-at ``ratings = train_matrix.dot(W).toarray()`` (:573); here even that
+columns, user rows are stored CSR-layout (flat values + offsets —
+resident ~nnz, heavy-tail safe), and ``predict`` aggregates per user
+batch with a windowed (B, L_max) gather + K column gathers over an
+on-the-fly (B, I) batch slice — so RESIDENT memory is O(nnz + I*K) and
+peak transients O(U*Bc + Bc*I + B*I + B*L_max), never O(U*I) or
+O(U*L_max) (the reference itself densifies only at
+``ratings = train_matrix.dot(W).toarray()`` (:573); here even that
 product stays per-batch). Guarded by an HLO shape check
 (tests/test_itemknn_sparse.py).
 
@@ -63,34 +66,43 @@ class ItemKNN(Recommender):
         self.block = int(config.get("knn_block", 512))
         csr = dataset.train_matrix.tocsr()
         self._coo = csr.tocoo()
-        # padded per-user rows (item ids + original ratings) for the
-        # per-batch predict aggregation; pad item id == num_items
+        # CSR-LAYOUT user rows (flat values + offsets) for the per-batch
+        # predict aggregation: resident device memory ~ the nnz
+        # footprint; the padded (B, L_max) gather exists only as a
+        # per-batch transient inside predict. A padded (U, L_max) table
+        # here would reintroduce the heavy-tail memory cliff the rest of
+        # the round removes (review r5 finding).
         lens = np.diff(csr.indptr)
-        L = max(int(lens.max()) if len(lens) else 1, 1)
-        row_items = np.full((self.num_users, L), self.num_items, np.int32)
-        row_vals = np.zeros((self.num_users, L), np.float32)
-        for u in range(self.num_users):
-            s, e = csr.indptr[u], csr.indptr[u + 1]
-            row_items[u, : e - s] = csr.indices[s:e]
-            row_vals[u, : e - s] = csr.data[s:e]
-        self._row_items = row_items
-        self._row_vals = row_vals
+        self._L_max = max(int(lens.max()) if len(lens) else 1, 1)
+        nnz = max(int(csr.nnz), 1)
+        flat_items = np.full(nnz, self.num_items, np.int32)
+        flat_vals = np.zeros(nnz, np.float32)
+        flat_items[: csr.nnz] = csr.indices
+        flat_vals[: csr.nnz] = csr.data
+        self._row_offsets = csr.indptr.astype(np.int32)
+        self._flat_items = flat_items
+        self._flat_vals = flat_vals
 
     # -- similarity ---------------------------------------------------------
-    def _block_coo(self):
+    def _block_coo(self, edge_vals=None):
         """Per-column-block COO triples, padded to the max block nnz.
 
         Returns (users, lcol, vals) of shape (nb, Eb): entries of column
         block b with block-local column ids; pad entries use user == U
-        (dropped by the clamped scatter).
+        (dropped by the clamped scatter). ``edge_vals`` replaces the raw
+        ratings with per-edge values aligned with ``self._coo``'s order
+        (the similarity side passes mean-centered values) — ONE block
+        layout pass serves both, so the two can never silently diverge.
         """
         coo = self._coo
         I, U, Bc = self.num_items, self.num_users, self.block
         nb = -(-I // Bc)
+        if edge_vals is None:
+            edge_vals = coo.data
         order = np.argsort(coo.col, kind="stable")
         col = coo.col[order].astype(np.int64)
         row = coo.row[order].astype(np.int32)
-        val = coo.data[order].astype(np.float32)
+        val = np.asarray(edge_vals)[order].astype(np.float32)
         starts = np.searchsorted(col, np.arange(0, nb * Bc + 1, Bc))
         Eb = max(int(np.max(starts[1:] - starts[:-1])) if nb else 1, 1)
         users = np.full((nb, Eb), U, np.int32)
@@ -125,21 +137,11 @@ class ItemKNN(Recommender):
     def _w_inputs(self):
         """Host-side block layout of the (centered) COO for the W program:
         (users_b, lcol_b, vals_b, ss) — never a dense (U, I) array."""
-        I, Bc = self.num_items, self.block
-        nb = -(-I // Bc)
-        users_b, lcol_b, _ = self._block_coo()
         cvals = self._centered_edge_vals()
-        # re-order centered vals into the block layout
-        order = np.argsort(self._coo.col, kind="stable")
-        col = self._coo.col[order]
-        starts = np.searchsorted(col, np.arange(0, nb * Bc + 1, Bc))
-        vals_b = np.zeros_like(lcol_b, dtype=np.float32)
-        cv = cvals[order]
-        for b in range(nb):
-            s, e = starts[b], starts[b + 1]
-            vals_b[b, : e - s] = cv[s:e]
+        users_b, lcol_b, vals_b = self._block_coo(edge_vals=cvals)
         ss_np = np.bincount(
-            self._coo.col, weights=cvals.astype(np.float64) ** 2, minlength=I
+            self._coo.col, weights=cvals.astype(np.float64) ** 2,
+            minlength=self.num_items,
         ).astype(np.float32)
         return users_b, lcol_b, vals_b, ss_np
 
@@ -250,8 +252,9 @@ class ItemKNN(Recommender):
         return {
             "w_vals": w_vals,
             "w_idx": w_idx,
-            "row_items": jnp.asarray(self._row_items),
-            "row_vals": jnp.asarray(self._row_vals),
+            "row_offsets": jnp.asarray(self._row_offsets),
+            "flat_items": jnp.asarray(self._flat_items),
+            "flat_vals": jnp.asarray(self._flat_vals),
         }
 
     def loss(self, params, batch, weights):
@@ -259,12 +262,23 @@ class ItemKNN(Recommender):
 
     def predict(self, params, users):
         """ratings[u, c] = sum_k R[u, idx[c, k]] * vals[c, k] — the
-        reference's R @ W (ItemKNN.py:573) computed per user batch: one
-        (B, I+1) scatter from the batch's padded rows, then K column
-        gathers; nothing (U, I)-sized ever exists."""
-        row_it = params["row_items"][users]  # (B, L)
-        row_v = params["row_vals"][users]
-        B = row_it.shape[0]
+        reference's R @ W (ItemKNN.py:573) computed per user batch: a
+        (B, L_max) windowed gather from the flat CSR-layout rows, one
+        (B, I+1) scatter, then K column gathers; nothing (U, I)- or
+        (U, L_max)-sized ever exists."""
+        off = params["row_offsets"]
+        starts = off[users].astype(jnp.int32)            # (B,)
+        lens = off[users + 1].astype(jnp.int32) - starts
+        B = users.shape[0]
+        win = jnp.arange(self._L_max, dtype=jnp.int32)[None, :]
+        valid = win < lens[:, None]                      # (B, L_max)
+        pos = jnp.minimum(
+            starts[:, None] + win, params["flat_items"].shape[0] - 1
+        )
+        row_it = jnp.where(
+            valid, params["flat_items"][pos], self.num_items
+        )
+        row_v = jnp.where(valid, params["flat_vals"][pos], 0.0)
         Ru = jnp.zeros((B, self.num_items + 1), jnp.float32)
         Ru = Ru.at[jnp.arange(B)[:, None], row_it].add(row_v)[
             :, : self.num_items

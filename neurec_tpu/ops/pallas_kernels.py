@@ -85,9 +85,17 @@ def pack_mask_bits(mask: jnp.ndarray, block_items: int) -> jnp.ndarray:
     """
     B, I_p = mask.shape
     m4 = mask.reshape(B, I_p // block_items, 8, block_items // 8)
-    weights = (1 << jnp.arange(8, dtype=jnp.int32))[None, None, :, None]
-    bits = jnp.sum(m4.astype(jnp.int32) * weights, axis=2)
-    return bits.reshape(B, I_p // 8).astype(jnp.uint8)
+    # all-uint8 arithmetic: each byte sums 8 disjoint weights (max 255),
+    # so a uint8 accumulator is exact and the (B, I_p) transient stays
+    # 1 byte/element — an int32 upcast would 4x the biggest buffer of
+    # the streamed tiers (review r5 finding)
+    weights = (
+        jnp.uint8(1) << jnp.arange(8, dtype=jnp.uint8)
+    )[None, None, :, None]
+    bits = jnp.sum(
+        m4.astype(jnp.uint8) * weights, axis=2, dtype=jnp.uint8
+    )
+    return bits.reshape(B, I_p // 8)
 
 
 def masked_scores(

@@ -21,6 +21,7 @@ evaluator's reusable packed-bits table would buy nothing here.
 from __future__ import annotations
 
 import weakref
+from collections import OrderedDict
 from typing import Optional
 
 import jax
@@ -29,8 +30,37 @@ import numpy as np
 
 # jitted export programs per live model: a fresh @jax.jit closure per
 # batch_topk call re-traced (and round-tripped the remote compile cache)
-# on every export — ~2.5 s/call at gowalla scale
-_EXPORT_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# on every export — ~2.5 s/call at gowalla scale. Keyed by id(model)
+# with a weakref finalizer that evicts on model death (a
+# WeakKeyDictionary would be inert here: the cached closure strongly
+# references the model, making every entry self-keeping), plus an LRU
+# bound as a belt against id reuse pathologies.
+_EXPORT_CACHE: "OrderedDict[tuple, object]" = OrderedDict()
+_EXPORT_CACHE_MAX = 8
+
+
+def _cache_get(model, sub_key):
+    key = (id(model), sub_key)
+    fn = _EXPORT_CACHE.get(key)
+    if fn is not None:
+        _EXPORT_CACHE.move_to_end(key)
+    return fn
+
+
+def _cache_put(model, sub_key, fn):
+    key = (id(model), sub_key)
+    _EXPORT_CACHE[key] = fn
+    _EXPORT_CACHE.move_to_end(key)
+    mid = id(model)
+    weakref.finalize(
+        model,
+        lambda mid=mid: [
+            _EXPORT_CACHE.pop(k, None)
+            for k in [k for k in _EXPORT_CACHE if k[0] == mid]
+        ],
+    )
+    while len(_EXPORT_CACHE) > _EXPORT_CACHE_MAX:
+        _EXPORT_CACHE.popitem(last=False)
 
 
 def _batch_edges_from_csr(csr, users_pad, n_valid, n_batches, B):
@@ -112,15 +142,20 @@ def batch_topk(
         e_users = np.full((n_batches, 8), B, np.int32)
 
     cache_key = (B, int(k), masked)
-    per_model = _EXPORT_CACHE.setdefault(model, {})
-    export = per_model.get(cache_key)
+    export = _cache_get(model, cache_key)
     if export is None:
+        # the closure must NOT strongly hold the model or the cache
+        # entry becomes self-keeping (finalizer never fires, models leak
+        # — review r5). Deref at trace time: any (re)trace happens
+        # inside a batch_topk call, where the caller holds the model.
+        model_ref = weakref.ref(model)
 
         @jax.jit
         def export(p, users_b, e_items_b, e_users_b):
+            mdl = model_ref()
             def body(carry, xs):
                 bu, ei, eu = xs
-                scores = model.predict(p, bu).astype(jnp.float32)
+                scores = mdl.predict(p, bu).astype(jnp.float32)
                 if masked:
                     # drop-mode scatter: pad slots (eu == B) vanish
                     scores = scores.at[eu, ei].set(-jnp.inf, mode="drop")
@@ -132,7 +167,7 @@ def batch_topk(
             )
             return S, I
 
-        per_model[cache_key] = export
+        _cache_put(model, cache_key, export)
 
     S, I = export(
         params, jnp.asarray(users_b), jnp.asarray(e_items),

@@ -291,12 +291,25 @@ class Trainer:
             from neurec_tpu.ops.bloom import is_positive_bloom
 
             bloom_table, n_bits, k_hash = self._excl_bloom
-            # 6 rejection rounds (vs sample_negatives' 16): a kept
-            # positive needs ALL rounds flagged AND the round-0 draw to
-            # be a true positive — (d + FP)^6 * d/(d+FP), ~1e-9 at 1%
-            # density with the k=3 filter's ~3% FP. The Bloom path only
-            # engages on heavy-tail (low-density) data.
+            # Rejection rounds sized by the WORST per-user density (the
+            # power users that define heavy-tailed data): a kept positive
+            # needs ALL rounds flagged AND the round-0 draw to be a true
+            # positive, probability (d + FP)^R * d/(d+FP). R is the
+            # smallest count in [6, 16] pushing that under 1e-8 at
+            # d = d_max (FP ~3.1% for the k=3 filter); typical heavy-tail
+            # data stays at 6, a 46%-density power user drives it to 16 —
+            # never weaker than sample_negatives' 16-round d^16 contract
+            # by more than the FP term.
+            lens_ = np.diff(self.dataset.train_matrix.indptr)
+            d_max = float(lens_.max() if len(lens_) else 0) / max(
+                model.num_items, 1
+            )
+            fp = 0.031
             _R = 6
+            while _R < 16 and (d_max + fp) ** _R * max(d_max, 1e-12) / (
+                d_max + fp
+            ) > 1e-8:
+                _R += 1
             _C = 8192  # pre-draw chunk: (C, R) draws + probes per step
 
             def predraw_negs(key, users_all):

@@ -91,3 +91,31 @@ def test_batch_topk_masks_per_batch_not_per_catalog(tmp_path):
     assert ei.size <= 2 * (nnz_req + 8)
     # pad slots use local id B (dropped by the scatter)
     assert eu.max() <= 2
+
+
+def test_export_cache_evicts_dead_models(tmp_path):
+    """The jitted-export cache must not keep dead models alive (review
+    r5: a WeakKeyDictionary was inert because the cached closure
+    strongly referenced its key; now id-keyed with a finalizer + LRU)."""
+    import gc
+    import weakref
+
+    from neurec_tpu import recommend
+
+    make_synthetic_dataset(tmp_path, num_users=25, num_items=40)
+    conf = make_config(tmp_path, recommender="MF",
+                       alg_props={"embedding_size": 8})
+    ds = Dataset(conf)
+    model = get_model("MF")(ds, conf)
+    params = model.init_params(jax.random.PRNGKey(3))
+    batch_topk(model, params, k=4, users=np.array([1, 2], np.int32),
+               train_matrix=ds.train_matrix, batch_size=2)
+    mid = id(model)
+    assert any(k[0] == mid for k in recommend._EXPORT_CACHE)
+    ref = weakref.ref(model)
+    del model
+    gc.collect()
+    assert ref() is None, "export cache kept the model alive"
+    assert not any(k[0] == mid for k in recommend._EXPORT_CACHE), (
+        "dead model's export entries were not evicted"
+    )
