@@ -310,6 +310,7 @@ class Trainer:
                 d_max + fp
             ) > 1e-8:
                 _R += 1
+            self._bloom_rounds = _R  # introspection (tests)
             _C = 8192  # pre-draw chunk: (C, R) draws + probes per step
 
             def predraw_negs(key, users_all):

@@ -279,3 +279,74 @@ def test_bloom_exclusion_trains_on_mesh(tmp_path, monkeypatch):
             )
         results.append(np.asarray(tr.params["item_emb"]))
     np.testing.assert_allclose(results[0], results[1], rtol=5e-3, atol=1e-4)
+
+
+def test_bloom_rounds_scale_with_worst_density(tmp_path, monkeypatch):
+    """The pre-draw rejection-round count must rise with the worst
+    per-user density (review r5: a flat 6 leaked positives for dense
+    power users). Sparse data stays at 6; a user covering ~half the
+    catalog drives it to the 16-round ceiling."""
+    import neurec_tpu.trainer as trainer_mod
+    from neurec_tpu.models import get_model
+    from neurec_tpu.trainer import Trainer
+
+    monkeypatch.setattr(trainer_mod, "_EXCL_TABLE_BUDGET", 0)
+
+    class SilentLogger:
+        def info(self, msg):
+            pass
+
+        debug = warning = error = critical = info
+
+    class _Conf(dict):
+        def get(self, k, d=None):
+            return dict.get(self, k, d)
+
+    conf = _Conf(recommender="MF", epochs=1, batch_size=32,
+                 embedding_size=4, reg_mf=0.0, learning_rate=0.05,
+                 learner="adam", num_negatives=1, is_pairwise="True",
+                 loss_function="bpr", init_method="normal", stddev=0.01,
+                 verbose=1, topk=10, test_batch_size=32,
+                 metric=["Recall"])
+
+    def rounds_for(rows, cols, U, I):
+        import scipy.sparse as sps
+
+        class DS:
+            train_matrix = sps.csr_matrix(
+                (np.ones(len(rows), np.float32), (rows, cols)), shape=(U, I)
+            )
+            num_users, num_items = U, I
+
+            def get_user_train_dict(self, by_time=False):
+                d = {}
+                for u, i in zip(rows, cols):
+                    d.setdefault(int(u), []).append(int(i))
+                return d
+
+            def get_user_test_dict(self):
+                return {0: [int(cols[0])]}
+
+            def get_user_test_neg_dict(self):
+                return None
+
+        ds = DS()
+        model = get_model("MF")(ds, conf)
+        tr = Trainer(model, ds, conf, logger=SilentLogger())
+        assert tr._excl_bloom is not None
+        tr.initialize()  # builds the epoch (computes _bloom_rounds)
+        lens = np.diff(ds.train_matrix.indptr)
+        return tr._bloom_rounds, float(lens.max()) / ds.num_items
+
+    rng = np.random.RandomState(0)
+    # sparse: 100 users x 10 items each of 10k
+    rows = np.repeat(np.arange(100), 10)
+    cols = rng.randint(0, 10_000, 1000)
+    r_sparse, d_s = rounds_for(rows, cols, 100, 10_000)
+    assert r_sparse == 6, (r_sparse, d_s)
+    # one power user covering 45% of a small catalog
+    rows2 = np.concatenate([np.zeros(450, np.int64), np.arange(1, 50)])
+    cols2 = np.concatenate([rng.permutation(1000)[:450],
+                            rng.randint(0, 1000, 49)])
+    r_dense, d_d = rounds_for(rows2, cols2, 50, 1000)
+    assert r_dense == 16, (r_dense, d_d)
