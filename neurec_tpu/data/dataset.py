@@ -241,16 +241,19 @@ class Dataset:
         np.savetxt(saved_prefix + ".user2id", user2id, fmt="%s", delimiter=sep)
         np.savetxt(saved_prefix + ".item2id", item2id, fmt="%s", delimiter=sep)
 
-        # remap an optional shipped .neg file alongside the cache
+        # remap an optional shipped .neg file alongside the cache. Parse it
+        # with pandas + the same separator as the .rating file so the id
+        # tokens come back with the SAME dtype as the remap dict keys — a
+        # str(line).split() lookup raises KeyError for every numeric-id
+        # dataset (pandas keys the maps by int64 there).
         neg_item_file = ori_prefix + ".neg"
         if os.path.isfile(neg_item_file):
+            neg_raw = pd.read_csv(neg_item_file, sep=sep, header=None)
             neg_item_list = []
-            with open(neg_item_file, "r") as fin:
-                for line in fin:
-                    parts = line.strip().split(sep)
-                    row = [self.userids[parts[0]]]
-                    row.extend(self.itemids[i] for i in parts[1:])
-                    neg_item_list.append(row)
+            for line in neg_raw.values:
+                row = [self.userids[line[0]]]
+                row.extend(self.itemids[i] for i in line[1:])
+                neg_item_list.append(row)
             test_neg = len(neg_item_list[0]) - 1
             np.savetxt(
                 "%s.neg%d" % (saved_prefix, test_neg),

@@ -535,6 +535,18 @@ class UniEvaluator:
         tables_fn = (
             getattr(model, "eval_tables", None) if plan.hoist else None
         )
+        # non-factorized models whose predict recomputes FULL-catalog
+        # work per batch (CFGAN itemBased runs its generator over every
+        # item row to score one user batch, CFGAN.py:168-176) expose
+        # eval_dense_scores(params) -> (num_users, num_items): the matrix
+        # materializes once per eval call and the scan body only gathers
+        # its rows. predict-kind plans only — factorized models hoist via
+        # eval_tables instead (review r5).
+        dense_fn = (
+            getattr(model, "eval_dense_scores", None)
+            if pred_topk is not None
+            else None
+        )
 
         def metric_tail(topk, sel, valid):
             hits = hit_matrix(topk, self._test_rows[sel], self._test_lens[sel])
@@ -559,6 +571,11 @@ class UniEvaluator:
                     u_table.astype(jnp.float32),
                     item_table.astype(jnp.float32),
                 )
+            dense_scores = (
+                dense_fn(params).astype(jnp.float32)
+                if dense_fn is not None
+                else None
+            )
 
             def body(carry, xs):
                 total, count = carry
@@ -583,7 +600,11 @@ class UniEvaluator:
                         mask,
                     )
                 else:
-                    scores = predict_fn(params, users).astype(jnp.float32)
+                    scores = (
+                        dense_scores[users]
+                        if dense_scores is not None
+                        else predict_fn(params, users).astype(jnp.float32)
+                    )
                     topk = pred_topk(scores, mask)
                 msum, wsum = metric_tail(topk, sel, valid)
                 return (total + msum, count + wsum), None
@@ -595,8 +616,13 @@ class UniEvaluator:
             (total, count), _ = jax.lax.scan(body, init, xs)
             return total, count
 
-        def candidate_step(params, users, cand_rows, n_pos, valid):
-            scores = predict_fn(params, users).astype(jnp.float32)
+        def candidate_step(params, users, cand_rows, n_pos, valid,
+                           dense_scores=None):
+            scores = (
+                dense_scores[users]
+                if dense_scores is not None
+                else predict_fn(params, users).astype(jnp.float32)
+            )
             B = scores.shape[0]
             ext = jnp.concatenate(
                 [scores, jnp.full((B, 1), -jnp.inf, jnp.float32)], axis=1
@@ -612,11 +638,18 @@ class UniEvaluator:
             return jnp.sum(m * w[:, None, None], axis=0), jnp.sum(w)
 
         def candidate_all(params, users_b, sel_b, valid_b, bits_table):
+            dense_scores = (
+                dense_fn(params).astype(jnp.float32)
+                if dense_fn is not None
+                else None
+            )
+
             def body(carry, xs):
                 total, count = carry
                 users, sel, valid = xs
                 msum, wsum = candidate_step(
-                    params, users, self._cand_rows[sel], self._n_pos[sel], valid
+                    params, users, self._cand_rows[sel], self._n_pos[sel],
+                    valid, dense_scores
                 )
                 return (total + msum, count + wsum), None
 

@@ -75,6 +75,10 @@ class CFGAN(Recommender):
         self._lens = jnp.asarray(padded.lengths)
         # user-facing eval is always (users x items)
         self.epochs = int(self.epochs / self.step_G)
+        if self.mode != "itemBased":
+            # userBased predict only runs the generator on the batch's own
+            # rows — hoisting a (U, I) matrix would cost memory for nothing
+            self.eval_dense_scores = None
 
     def _make_opt(self, name, lr):
         return optax.adam(lr) if name == "adam" else optax.sgd(lr)
@@ -190,12 +194,25 @@ class CFGAN(Recommender):
     def loss(self, params, batch, weights):
         raise RuntimeError("CFGAN uses build_epoch (data_kind='custom')")
 
+    def _all_ratings_t(self, params):
+        """(U, I) full score matrix for itemBased mode: the generator maps
+        every item row to per-item user scores; score(u, i) is column u of
+        G(item rows)."""
+        cond = self._make_cond_rows(jnp.arange(self._n_rows))
+        return _sigmoid_stack(params["gen"], cond).T
+
+    def eval_dense_scores(self, params):
+        """Evaluator hoist hook (predict-kind): itemBased predict runs the
+        FULL generator stack for one user batch, so inside the eval scan
+        it would regenerate the whole catalog per batch (the reference
+        computes allRatings once per evaluation, CFGAN.py:168-176);
+        hoisting materializes the matrix once per eval call. Only defined
+        for itemBased — userBased predict is batch-proportional (the
+        __init__ deletes this attribute there)."""
+        return self._all_ratings_t(params)
+
     def predict(self, params, users):
         if self.mode == "itemBased":
-            # generator maps item rows -> per-item user scores; score(u, i)
-            # is column u of G(item rows). Generate for all items, gather.
-            cond = self._make_cond_rows(jnp.arange(self._n_rows))
-            all_ratings = _sigmoid_stack(params["gen"], cond)  # (I, U)
-            return all_ratings.T[users]
+            return self._all_ratings_t(params)[users]
         cond = self._make_cond_rows(users)
         return _sigmoid_stack(params["gen"], cond)

@@ -140,6 +140,18 @@ class DMF(Recommender):
             return jnp.sum(ce * weights) / denom
         return jnp.mean(ce)
 
+    def eval_dense_scores(self, params):
+        """Evaluator/serving hoist hook (review r5): predict recomputes
+        the FULL item tower — an (I, L_i, f) padded-gather transient —
+        for every eval batch inside the scan, and the clipped cosine
+        cannot factor into the eval_embeddings dot form. The per-batch
+        transient already dwarfs the hoisted (U, I) matrix, so
+        materializing all scores once per eval call strictly dominates.
+        Row-independent math keeps it bit-exact with batched predict."""
+        return self.predict(
+            params, jnp.arange(self.num_users, dtype=jnp.int32)
+        )
+
     def predict(self, params, users):
         u = self._user_tower(params, users)                 # (B, l)
         v = self._item_tower(params, jnp.arange(self.num_items))  # (I, l)

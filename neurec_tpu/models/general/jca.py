@@ -164,6 +164,17 @@ class JCA(Recommender):
     def loss(self, params, batch, weights):
         raise RuntimeError("JCA uses build_epoch (data_kind='custom')")
 
+    def eval_dense_scores(self, params):
+        """Evaluator/serving hoist hook (review r5): predict runs the
+        FULL item decoder — an (I, U) matrix — for every eval batch
+        inside the scan. The hoisted (U, I) average costs no more than
+        ONE batch's i_dec transient and computes the item side once per
+        eval call. Row-independent math keeps it bit-exact with batched
+        predict."""
+        return self.predict(
+            params, jnp.arange(self.num_users, dtype=jnp.int32)
+        )
+
     def predict(self, params, users):
         r_u = self._rows_dense(users)
         u_dec = self._u_decode(params, r_u)                    # (B, I)

@@ -110,6 +110,16 @@ def is_positive_bloom(
     return (hit != 0).reshape(candidates.shape)
 
 
+def select_first_nonmember(draws: jnp.ndarray, member: jnp.ndarray) -> jnp.ndarray:
+    """(B,) first draw per row whose membership flag is False, falling
+    back to the round-0 draw when every round flagged — the bounded-
+    rejection contract shared by ``sample_negatives_bloom`` and the
+    Trainer's whole-epoch Bloom pre-draw (one definition so the two
+    cannot drift)."""
+    first = jnp.argmax(~member, axis=1)
+    return jnp.take_along_axis(draws, first[:, None], axis=1)[:, 0]
+
+
 def sample_negatives_bloom(
     key: jax.Array,
     users: jnp.ndarray,   # (B,) user ids (exclusion = that user's pairs)
@@ -132,8 +142,7 @@ def sample_negatives_bloom(
     )
     member = is_positive_bloom(table, n_bits, users, draws, k_hash)
     if S == 1:
-        first = jnp.argmax(~member, axis=1)
-        chosen = jnp.take_along_axis(draws, first[:, None], axis=1)[:, 0]
+        chosen = select_first_nonmember(draws, member)
         return chosen.reshape((B,) + tuple(shape))
     ok = (~member).reshape(B, num_rounds, S)
     draws_r = draws.reshape(B, num_rounds, S)

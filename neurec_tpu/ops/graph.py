@@ -116,6 +116,12 @@ def build_norm_adjacency(
     rows[:nnz] = norm.row[order]
     cols[:nnz] = norm.col[order]
     vals[:nnz] = norm.data[order]
+    # pad edges carry value 0 (no-op contributions) and must point at the
+    # LAST real row, not row 0: appended row-0 pads would break the
+    # non-decreasing order that the segment_sum indices_are_sorted=True
+    # promise asserts to XLA (implementation-defined results if violated)
+    if nnz:
+        rows[nnz:] = rows[nnz - 1]
     dense = None
     plan = plan_t = None
     if n_nodes * n_nodes <= DENSE_LIMIT:
@@ -125,7 +131,8 @@ def build_norm_adjacency(
 
         plan = build_spmm_plan(rows, cols, vals, n_nodes)
         plan_t = build_spmm_plan(cols, rows, vals, n_nodes)
-    # padding edges point at node 0 with value 0 — no-ops under segment_sum
+    # padding edges carry value 0 and repeat the last row id — no-op
+    # contributions that keep the row sequence sorted for segment_sum
     return SparseAdj(
         rows=rows,
         cols=cols,
@@ -264,6 +271,8 @@ def shard_adjacency(
         r_l[b, :k] = rows[sel] - b * block
         c[b, :k] = cols[sel]
         v[b, :k] = vals[sel]
+        if k:  # keep the block's row sequence non-decreasing (see above)
+            r_l[b, k:] = r_l[b, k - 1]
     sh = NamedSharding(mesh, P("data", None))
     from neurec_tpu.parallel.mesh import global_device_put
 

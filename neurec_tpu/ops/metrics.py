@@ -54,19 +54,26 @@ def all_metrics(
     truth_len = truth_lengths.astype(jnp.float32)[:, None]        # (B, 1)
     cum_hits = jnp.cumsum(hits, axis=1)                           # (B, K)
 
+    # truth_len == 0 (an empty truth row fed through the public
+    # UniEvaluator API) would make recall/ndcg 0/0 = NaN and poison the
+    # whole metric accumulator; with zero truth entries hits are all 0,
+    # so a clamped denominator yields the correct 0 rows instead and is
+    # a no-op for every non-empty user.
+    safe_truth = jnp.maximum(truth_len, 1.0)
+
     precision = cum_hits / ranks
-    recall = cum_hits / truth_len
+    recall = cum_hits / safe_truth
 
     # MAP: sum of precision at hit positions, / min(rank, |truth|)
     sum_pre = jnp.cumsum(hits * precision, axis=1)
-    ap = jnp.where(cum_hits > 0, sum_pre / jnp.minimum(ranks, truth_len), 0.0)
+    ap = jnp.where(cum_hits > 0, sum_pre / jnp.minimum(ranks, safe_truth), 0.0)
 
     # NDCG
     gains = 1.0 / jnp.log2(ranks + 1.0)                           # (1, K)
     dcg = jnp.cumsum(hits * gains, axis=1)
     ideal_mask = (ranks <= truth_len).astype(jnp.float32)         # (B, K)
     idcg = jnp.cumsum(ideal_mask * gains, axis=1)
-    ndcg = dcg / idcg
+    ndcg = dcg / jnp.maximum(idcg, 1e-12)  # idcg >= 1.0 whenever |truth| >= 1
 
     # MRR: 1/(first hit rank); 0 before the first hit
     has_hit = cum_hits > 0

@@ -119,8 +119,12 @@ def batch_topk(
 
     Returns:
       (item_ids, scores): int32/float32 arrays of shape (len(users), k).
+      ``k`` is clamped to the catalog size (the evaluator's own
+      ``K = min(max_top, num_items)`` rule) — asking for more items than
+      exist returns the full ranked catalog instead of a trace error.
     """
     num_items = model.num_items
+    k = min(int(k), num_items)
     if users is None:
         users = np.arange(model.num_users, dtype=np.int32)
     users = np.asarray(users, dtype=np.int32)
@@ -153,9 +157,21 @@ def batch_topk(
         @jax.jit
         def export(p, users_b, e_items_b, e_users_b):
             mdl = model_ref()
+            # same hoist as the evaluator's: models whose predict redoes
+            # full-catalog work per batch (CFGAN itemBased) expose
+            # eval_dense_scores; materialize once, gather rows in-scan
+            dense = getattr(mdl, "eval_dense_scores", None)
+            dense_scores = (
+                dense(p).astype(jnp.float32) if dense is not None else None
+            )
+
             def body(carry, xs):
                 bu, ei, eu = xs
-                scores = mdl.predict(p, bu).astype(jnp.float32)
+                scores = (
+                    dense_scores[bu]
+                    if dense_scores is not None
+                    else mdl.predict(p, bu).astype(jnp.float32)
+                )
                 if masked:
                     # drop-mode scatter: pad slots (eu == B) vanish
                     scores = scores.at[eu, ei].set(-jnp.inf, mode="drop")

@@ -47,9 +47,9 @@ from neurec_tpu.ops.sampling import sample_negatives
 from neurec_tpu.parallel.mesh import shard_params
 
 # padded-exclusion-table byte budget: above it the sampled epochs switch
-# to the pair-hash membership set (ops/hashset.py). 64 MB keeps every
+# to the pair Bloom filter (ops/bloom.py). 64 MB keeps every
 # benchmarked dataset (gowalla padded rows ~24 MB) on the epoch-A/B-proven
-# broadcast-compare path while bounding heavy-tailed data at ~2x CSR.
+# broadcast-compare path while bounding heavy-tailed data at ~1 byte/pair.
 _EXCL_TABLE_BUDGET = 64 * 1024 * 1024
 
 
@@ -288,7 +288,10 @@ class Trainer:
             # measured 56% of a heavy-tail epoch (2.40 -> 1.07 s/epoch
             # with sampling ablated, benchmarks doctrine); bulk probing
             # millions of candidates at once is bandwidth-bound instead.
-            from neurec_tpu.ops.bloom import is_positive_bloom
+            from neurec_tpu.ops.bloom import (
+                is_positive_bloom,
+                select_first_nonmember,
+            )
 
             bloom_table, n_bits, k_hash = self._excl_bloom
             # Rejection rounds sized by the WORST per-user density (the
@@ -326,11 +329,7 @@ class Trainer:
                     member = is_positive_bloom(
                         bloom_table, n_bits, users_c, draws, k_hash
                     )
-                    first = jnp.argmax(~member, axis=1)
-                    chosen = jnp.take_along_axis(
-                        draws, first[:, None], axis=1
-                    )[:, 0]
-                    return carry, chosen
+                    return carry, select_first_nonmember(draws, member)
 
                 keys = jax.random.split(key, chunks)
                 _, negs = jax.lax.scan(
@@ -404,7 +403,12 @@ class Trainer:
             step_keys = jax.random.split(kn, steps)
             xs = (inst.reshape(steps, B), w.reshape(steps, B), step_keys)
             if predraw_negs is not None:
-                kd = jax.random.fold_in(kn, 1)
+                # fold_in(kn, i) IS split(kn, steps)[i] for i < steps
+                # (verified for this JAX's threefry), so folding a small
+                # constant would hand the pre-draw the same key as one
+                # train step's (dropout/corruption) stream; `steps` is the
+                # smallest index provably outside the split range
+                kd = jax.random.fold_in(kn, steps)
                 base_all = inst % N if not pairwise else inst
                 negs_all = predraw_negs(kd, users_flat[base_all])
                 xs = xs + (negs_all.reshape(steps, B),)

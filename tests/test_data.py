@@ -222,3 +222,39 @@ def test_overfiltered_dataset_raises_clear_error(tmp_path):
     conf = make_config(tmp_path, user_min="1000", item_min="1000")
     with pytest.raises(ValueError, match="filtered out all"):
         Dataset(conf)
+
+
+def test_shipped_neg_file_remaps_numeric_ids(tmp_path):
+    """A dataset-shipped .neg file with numeric ids must remap through
+    user2id/item2id: the maps are keyed by the pandas-parsed (int) id
+    tokens, so a str(line).split() lookup raised KeyError on every
+    numeric-id dataset (review r5). The remapped .neg<N> cache must feed
+    negative_matrix with exactly the shipped candidates."""
+    import numpy as np
+
+    from neurec_tpu.data.dataset import Dataset
+    from tests.helpers import make_config, make_synthetic_dataset
+
+    make_synthetic_dataset(tmp_path, num_users=10, num_items=20,
+                           min_items=4, max_items=6)
+    # 3 negatives per user, chosen outside each user's interactions
+    import pandas as pd
+
+    all_rows = pd.read_csv(tmp_path / "synth.rating", sep="\t", header=None,
+                           names=["user", "item", "rating", "time"])
+    lines = []
+    shipped = {}
+    for u, grp in all_rows.groupby("user"):
+        pool = sorted(set(range(20)) - set(grp["item"]))[:3]
+        shipped[int(u)] = pool
+        lines.append("\t".join(str(x) for x in [u] + pool))
+    (tmp_path / "synth.neg").write_text("\n".join(lines) + "\n")
+
+    conf = make_config(tmp_path, **{"rec.evaluate.neg": 3})
+    ds = Dataset(conf)  # KeyError here before the fix
+    assert ds.negative_matrix is not None
+    neg_dict = ds.get_user_test_neg_dict()
+    for orig_u, negs in shipped.items():
+        new_u = ds.userids[orig_u]
+        want = {ds.itemids[i] for i in negs}
+        assert set(neg_dict[new_u]) == want

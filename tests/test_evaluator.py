@@ -266,3 +266,103 @@ def test_grouped_subset_batches_cached_across_calls(monkeypatch):
     ev.evaluate(predict, None, other)
     assert CountingIndex.lookups > after_first
     assert len(ev._subset_batch_cache) == 2
+
+
+def test_cfgan_itembased_dense_hoist_matches_and_engages(tmp_path):
+    """CFGAN itemBased predict runs the full generator stack to score ONE
+    user batch; inside the eval scan that regenerates the catalog per
+    batch (review r5). The eval_dense_scores hook must hoist the matrix
+    out of the scan — predict untraced on the hook path — and stay
+    bit-exact with the unhoisted path."""
+    import jax
+
+    from neurec_tpu.data.dataset import Dataset
+    from neurec_tpu.models import get_model
+    from tests.helpers import make_config, make_synthetic_dataset
+
+    make_synthetic_dataset(tmp_path, num_users=30, num_items=40)
+    alg = {
+        "reg_G": 0.001, "reg_D": 0.0, "lr_G": 0.001, "lr_D": 0.001,
+        "ZR_ratio": 0.5, "ZP_ratio": 0.5, "ZR_coefficient": 0.03,
+        "hiddenLayer_G": "[16]", "hiddenLayer_D": "[8]",
+        "batchSize_G": 16, "batchSize_D": 16, "step_G": 1, "step_D": 1,
+        "mode": "itemBased", "epochs": 1,
+    }
+    conf = make_config(tmp_path, recommender="CFGAN", alg_props=alg,
+                       test_batch_size=8)
+    ds = Dataset(conf)
+    model = get_model("CFGAN")(ds, conf)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    calls = {"dense": 0, "predict": 0}
+    real_dense = model.eval_dense_scores
+    real_predict = type(model).predict
+
+    def spy_dense(p):
+        calls["dense"] += 1
+        return real_dense(p)
+
+    def spy_predict(self, p, users):
+        calls["predict"] += 1
+        return real_predict(self, p, users)
+
+    model.eval_dense_scores = spy_dense
+    try:
+        type(model).predict = spy_predict
+        ev = Evaluator.from_dataset(ds, conf)
+        got = ev.evaluate(model.predict, params)
+        assert calls["dense"] >= 1, "eval_dense_scores hook not used"
+        assert calls["predict"] == 0, (
+            "dense-hoisted path still traces per-batch predict"
+        )
+    finally:
+        type(model).predict = real_predict
+        model.eval_dense_scores = real_dense
+
+    model2 = get_model("CFGAN")(ds, conf)
+    model2.eval_dense_scores = None  # -> unhoisted per-batch predict
+    ev2 = Evaluator.from_dataset(ds, conf)
+    want = ev2.evaluate(model2.predict, params)
+    assert got == want
+
+    # userBased mode must not advertise the hook (batch-proportional)
+    alg_ub = dict(alg, mode="userBased")
+    conf_ub = make_config(tmp_path, recommender="CFGAN", alg_props=alg_ub)
+    model_ub = get_model("CFGAN")(Dataset(conf_ub), conf_ub)
+    assert getattr(model_ub, "eval_dense_scores", None) is None
+
+
+def test_dense_hoist_models_bitexact(tmp_path):
+    """DMF and JCA share CFGAN-itemBased's pathology (full-catalog tower/
+    decoder recomputed per eval batch) and advertise eval_dense_scores =
+    predict over all users; the hoisted result strings must be identical
+    to the unhoisted per-batch path."""
+    import jax
+
+    from neurec_tpu.data.dataset import Dataset
+    from neurec_tpu.models import get_model
+    from tests.helpers import make_config, make_synthetic_dataset
+
+    make_synthetic_dataset(tmp_path, num_users=30, num_items=40)
+    algs = {
+        "DMF": {"layers": "[16,8]", "loss_function": "cross_entropy",
+                "num_negatives": 2, "epochs": 1},
+        "JCA": {"hidden_neuron": 8, "f_act": "sigmoid", "g_act": "sigmoid",
+                "reg": 0.0, "margin": 0.15, "num_neg": 1, "epochs": 1},
+    }
+    for name, alg in algs.items():
+        conf = make_config(tmp_path, recommender=name, alg_props=alg,
+                           test_batch_size=8)
+        ds = Dataset(conf)
+        model = get_model(name)(ds, conf)
+        params = model.init_params(jax.random.PRNGKey(0))
+        assert getattr(model, "eval_dense_scores", None) is not None, name
+
+        ev = Evaluator.from_dataset(ds, conf)
+        got = ev.evaluate(model.predict, params)
+
+        model2 = get_model(name)(ds, conf)
+        model2.eval_dense_scores = None
+        ev2 = Evaluator.from_dataset(ds, conf)
+        want = ev2.evaluate(model2.predict, params)
+        assert got == want, name

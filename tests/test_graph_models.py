@@ -141,3 +141,37 @@ def test_lightgcn_sharded(graph_dataset):
     trainer = Trainer(model, dataset, conf, mesh=mesh, logger=SilentLogger())
     result = trainer.train()
     assert len(result.split("\t")) == 10
+
+
+def test_padded_coo_rows_stay_sorted_for_segment_sum():
+    """segment_sum is called with indices_are_sorted=True; the padding
+    edges appended after the row-sorted real edges must therefore repeat
+    the LAST row id (value 0 keeps them no-ops) — row-0 pads broke the
+    promise, which is implementation-defined territory for XLA scatter
+    (review r5). Covers both the replicated build and the per-block
+    sharded layout."""
+    rng = np.random.RandomState(7)
+    m = sp.random(60, 45, density=0.05, random_state=rng, format="csr")
+    m.data[:] = 1.0
+    adj = build_norm_adjacency(m, adj_type="pre", pad_multiple=64)
+    assert np.all(np.diff(adj.rows) >= 0)
+    nnz = (adj.vals != 0).sum()
+    assert len(adj.rows) > nnz  # padding actually present in this fixture
+    # SpMM still matches scipy with the new pad layout
+    norm = sp.csr_matrix(
+        (adj.vals[:nnz], (adj.rows[:nnz], adj.cols[:nnz])),
+        shape=(adj.n_nodes, adj.n_nodes),
+    )
+    x = rng.randn(adj.n_nodes, 8).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(spmm(adj, jnp.asarray(x))), norm @ x, rtol=1e-5, atol=1e-5
+    )
+
+    from neurec_tpu.ops.graph import shard_adjacency
+    from neurec_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    sharded = shard_adjacency(adj, mesh, pad_multiple=64, with_pallas=False)
+    rl = np.asarray(sharded.rows_local)
+    for b in range(rl.shape[0]):
+        assert np.all(np.diff(rl[b]) >= 0)

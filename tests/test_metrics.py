@@ -81,3 +81,24 @@ def test_loo_case_recall_is_hitratio_map_equals_mrr():
         m = np.asarray(all_metrics(hits, jnp.asarray(lens)))[0]
         np.testing.assert_allclose(m[2], m[4], rtol=1e-6)  # MAP == MRR
         assert set(np.unique(m[1])) <= {0.0, 1.0}  # recall == hit ratio
+
+
+def test_empty_truth_rows_yield_finite_zeros():
+    """A user with an empty truth set (possible through the public
+    UniEvaluator dict API) must contribute finite zeros, not 0/0 = NaN
+    that would poison the whole on-device metric accumulator; non-empty
+    rows in the same batch are unaffected (review r5)."""
+    K = 6
+    num_items = 50
+    rank = np.tile(np.arange(K, dtype=np.int32), (2, 1))
+    truth = np.full((2, 3), num_items, dtype=np.int32)
+    truth[1, :2] = [0, 3]
+    lens = np.array([0, 2], dtype=np.int32)
+
+    hits = hit_matrix(jnp.asarray(rank), jnp.asarray(truth), jnp.asarray(lens))
+    m = np.asarray(all_metrics(hits, jnp.asarray(lens)))  # (2, 5, K)
+
+    assert np.all(np.isfinite(m))
+    np.testing.assert_array_equal(m[0], np.zeros((5, K)))
+    want = all_metrics_host(rank[1], {0, 3})
+    np.testing.assert_allclose(m[1], want, rtol=2e-4, atol=1e-5)

@@ -119,3 +119,26 @@ def test_export_cache_evicts_dead_models(tmp_path):
     assert not any(k[0] == mid for k in recommend._EXPORT_CACHE), (
         "dead model's export entries were not evicted"
     )
+
+
+def test_batch_topk_k_exceeds_catalog(tmp_path):
+    """k > num_items must clamp to the full ranked catalog (the
+    evaluator's K = min(max_top, num_items) rule) instead of failing at
+    lax.top_k trace time (review r5)."""
+    make_synthetic_dataset(tmp_path, num_users=12, num_items=15,
+                           min_items=3, max_items=6)
+    conf = make_config(tmp_path, recommender="MF",
+                       alg_props={"embedding_size": 4})
+    ds = Dataset(conf)
+    model = get_model("MF")(ds, conf)
+    params = model.init_params(jax.random.PRNGKey(3))
+
+    items, scores = batch_topk(model, params, k=64, batch_size=8)
+    assert items.shape == (ds.num_users, ds.num_items)
+    full = np.asarray(
+        model.predict(params, np.arange(ds.num_users, dtype=np.int32))
+    ).astype(np.float32)
+    for u in range(ds.num_users):
+        assert set(items[u].tolist()) == set(range(ds.num_items))
+        np.testing.assert_allclose(
+            scores[u], np.sort(full[u])[::-1], rtol=1e-6)

@@ -113,3 +113,20 @@ def test_dense_row_regime_bias_immaterial():
     expect = len(clean) / 80.0
     rel_dev = np.abs(counts - expect) / expect
     assert rel_dev.max() < 0.15, rel_dev.max()  # uniform over non-positives
+
+
+def test_bloom_predraw_key_disjoint_from_step_keys():
+    """The Trainer derives the Bloom pre-draw key as fold_in(kn, steps);
+    for this JAX's threefry fold_in(kn, i) IS split(kn, steps)[i] for
+    i < steps (the r5 review caught fold_in(kn, 1) colliding with step
+    1's key), so `steps` is the smallest provably disjoint index. Guard
+    both the identity this reasoning rests on and the disjointness."""
+    kn = jax.random.PRNGKey(2018)
+    steps = 37
+    step_keys = np.asarray(jax.random.split(kn, steps))
+    # the identity that made fold_in(kn, small_const) a collision:
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.fold_in(kn, 1)), step_keys[1]
+    )
+    kd = np.asarray(jax.random.fold_in(kn, steps))
+    assert not (kd[None, :] == step_keys).all(axis=1).any()
