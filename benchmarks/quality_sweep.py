@@ -58,7 +58,11 @@ SWEEP = {
         REPO, "pretrained", "sweep_mf64.pkl")]),
     "DMF": (30, []),
     "CDAE": (100, []),
-    "DAE": (100, []),
+    # DAE: needs its shipped 1000-epoch budget — at the AE family's
+    # 100-epoch budget the pure sigmoid AE sits AT the Pop baseline
+    # (0.166 Recall@20, an under-training artifact, not a model gap);
+    # steady epochs are ~27 ms so the full budget costs ~30 s.
+    "DAE": (1000, []),
     "MultiDAE": (150, []),
     "MultiVAE": (150, []),
     "JCA": (50, []),
