@@ -295,14 +295,17 @@ ground-truth item per user). Raw JSON: `seq_loo_quality.json`:
 
 %s
 
-GRU4Rec's ~0.12 HR@20 is its genuine plateau on this 943-user dataset, not
-a budget artifact: the reference's own shipped configuration (loss=top1,
-lr=1e-4) run to its FULL 1000-epoch budget lands at 0.1230, matching the
-100-epoch bpr run, and a 300-epoch extension of the latter does not
-improve it. The bpr-max/top1-max formulas are proven against a literal
-transcription of the reference math (tests/test_sequential_models.py) —
-GRU4RecPlus's low score reflects its n_sample=2048 popularity negatives
-overwhelming a 1.6k-item catalog, a reference-parity behavior.
+GRU4Rec's ~0.125 HR@20 is its genuine plateau on this 943-user dataset,
+not a budget artifact: the reference's own shipped configuration
+(loss=top1, lr=1e-4) run to its FULL 1000-epoch budget and the
+300-epoch bpr run land within noise of each other (0.1241 / 0.1262);
+the 100-epoch bpr row is mid-learning-curve. (Rows re-measured after
+the r5 fix that made the pinned schedule's all-invalid pad steps true
+no-ops — no more Adam drift past the last real step.) The
+bpr-max/top1-max formulas are proven against a literal transcription of
+the reference math (tests/test_sequential_models.py) — GRU4RecPlus's
+low score reflects its n_sample=2048 popularity negatives overwhelming
+a 1.6k-item catalog, a reference-parity behavior.
 
 Train time includes one fresh XLA compile (the remote-compile service
 charges 20-300s per program); steady-state epoch times are a few ms.

@@ -388,9 +388,13 @@ class UniEvaluator:
                 sel = self.test_users[lo : min(lo + chunk, n)]
                 rows_np[: len(sel), :] = self._host_rows(sel, pad_to=L)
                 parts.append(pack(jnp.asarray(rows_np))[: len(sel)])
-            table = (
-                jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-            )
+            if not parts:  # zero test users (e.g. a split that left none)
+                table = jnp.zeros((0, width // 8), jnp.uint8)
+            else:
+                table = (
+                    jnp.concatenate(parts, axis=0)
+                    if len(parts) > 1 else parts[0]
+                )
             if self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -736,6 +740,12 @@ class UniEvaluator:
                 [self._user_pos_index[int(u)] for u in users], dtype=np.int32
             )
 
+        if len(users) == 0:
+            # nothing to rank (a split can leave zero test items) — the
+            # scan body cannot even trace against 0-row tables
+            return np.zeros(
+                (self.metrics_num, len(self.top_show)), np.float32
+            )
         B = min(self.batch_size, max(len(users), 1))
         # under a mesh, user batches are sharded over the 'data' axis — each
         # chip scores/ranks its own slice of users and only the (5, K) metric

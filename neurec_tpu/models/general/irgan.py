@@ -123,14 +123,19 @@ class IRGAN(Recommender):
         n_pad = steps * B
         perm = jax.random.permutation(k_perm, n_pad)
         idx = jnp.where(perm < N, perm, 0)
+        # tail slots alias flat instance 0 — their weight must be 0 or the
+        # first user's first positive trains B-1 extra times per sub-epoch
+        # (the repo-wide padded-tail contract; review r5)
+        tail_w = (perm < N).astype(jnp.float32)
 
-        def step(dis, batch_idx):
+        def step(dis, xs):
+            batch_idx, batch_tail_w = xs
             batch_idx = self._dp(batch_idx)
             u, i, lbl, w = self._dp(
                 flat_users[batch_idx],
                 flat_items[batch_idx],
                 flat_labels[batch_idx],
-                flat_w[batch_idx],
+                flat_w[batch_idx] * batch_tail_w,
             )
 
             def loss_fn(d):
@@ -143,7 +148,12 @@ class IRGAN(Recommender):
                     - logits * lbl
                     + jax.nn.softplus(-jnp.abs(logits))
                 )
-                reg = self.d_reg * 0.5 * (
+                # reference quirk mirrored (IRGAN.py:103-107): pre_loss is
+                # an unreduced (B,) CE vector with the SCALAR lamda*l2
+                # broadcast-added, and TF's minimize() differentiates its
+                # SUM — the effective reg weight per batch is therefore
+                # (number of real instances) * lamda, not lamda.
+                reg = self.d_reg * jnp.sum(w) * 0.5 * (
                     jnp.sum(jnp.square(d["user_emb"][u] * w[:, None]))
                     + jnp.sum(jnp.square(d["item_emb"][i] * w[:, None]))
                     + jnp.sum(jnp.square(d["item_bias"][i] * w))
@@ -154,7 +164,10 @@ class IRGAN(Recommender):
             dis = jax.tree.map(lambda p, g: p - self.lr * g, dis, grads)
             return dis, loss
 
-        dis, losses = jax.lax.scan(step, params["dis"], idx.reshape(steps, B))
+        dis, losses = jax.lax.scan(
+            step, params["dis"],
+            (idx.reshape(steps, B), tail_w.reshape(steps, B)),
+        )
         return dict(params, dis=dis), jnp.mean(losses)
 
     def _g_pass(self, params, key):

@@ -11,7 +11,10 @@ Parity with model/sequential_recommender/Caser.py:40-209:
   bias; mean BCE over T positives and neg_samples negatives
   (Caser.py:103-119); l2_reg on the four regularized tables;
 * fresh negatives per epoch excluded from the user's items
-  (Caser.py:174-190) — here sampled on device inside the jitted epoch.
+  (Caser.py:174-190) — here sampled on device inside the jitted epoch;
+* reference quirk mirrored: evaluation scores WITHOUT the learned item
+  bias (Caser.py:122 ``all_logits = matmul(user_embs, item_embeddings^T)``
+  — the bias only enters the training logits, Caser.py:104-105).
 """
 
 from __future__ import annotations
@@ -202,9 +205,10 @@ class Caser(Recommender):
     def predict(self, params, users):
         seqs = self._user_test_seq[users]
         uvec = self._user_vec(params, users, seqs, training=False)
-        return uvec @ params["item_emb"].T + params["item_bias"]
+        # no item bias at eval — reference quirk, see module docstring
+        return uvec @ params["item_emb"].T
 
     def eval_embeddings(self, params, users):
         seqs = self._user_test_seq[users]
         uvec = self._user_vec(params, users, seqs, training=False)
-        return self._affine_eval(uvec, params["item_emb"], params["item_bias"])
+        return self._affine_eval(uvec, params["item_emb"])

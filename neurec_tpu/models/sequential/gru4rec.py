@@ -271,8 +271,27 @@ class GRU4Rec(Recommender):
                 (loss, new_states), grads = jax.value_and_grad(
                     loss_fn, has_aux=True
                 )(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
+                # the pinned schedule ends in all-invalid pad steps (the
+                # makespan bound rounds up); the data loss is weight-0
+                # there but the reg term still has live gradients (extra
+                # sampled negatives carry valid_cols=1) and Adam momentum
+                # would keep drifting on zero grads — skip the update
+                # entirely so pad steps are true no-ops, like the
+                # reference stopping at its last real step (review r5)
+                any_valid = jnp.any(valid > 0)
+
+                def do_update(operand):
+                    grads_, opt_state_, params_ = operand
+                    updates_, new_opt = tx.update(grads_, opt_state_, params_)
+                    return optax.apply_updates(params_, updates_), new_opt
+
+                params, opt_state = jax.lax.cond(
+                    any_valid,
+                    do_update,
+                    lambda o: (o[2], o[1]),
+                    (grads, opt_state, params),
+                )
+                loss = loss * any_valid.astype(loss.dtype)
                 return (params, opt_state, new_states), loss
 
             def epoch(params, opt_state, ins, outs, resets, valids, key):

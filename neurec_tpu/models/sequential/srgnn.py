@@ -202,9 +202,13 @@ class SRGNN(Recommender):
         return sess_emb @ params["embedding"].T
 
     def build_epoch(self, trainer):
-        B = self.batch_size
         N = self._n_inst
-        steps = max(N // B, 1)  # reference drops the last partial batch
+        # reference drops the last partial batch; when the whole dataset is
+        # smaller than one batch that would train nothing (and the old
+        # steps=1 path crashed reshaping N elements into (1, B)) — clamp
+        # the batch to N so tiny datasets still train one full batch
+        B = max(min(self.batch_size, N), 1)
+        steps = max(N // B, 1)
         tx = trainer.tx
 
         def step(carry, xs):

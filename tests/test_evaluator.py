@@ -366,3 +366,18 @@ def test_dense_hoist_models_bitexact(tmp_path):
         ev2 = Evaluator.from_dataset(ds, conf)
         want = ev2.evaluate(model2.predict, params)
         assert got == want, name
+
+
+def test_zero_test_users_evaluates_to_zeros():
+    """An evaluator built over an empty test dict (a split can leave no
+    test items) must return all-zero metrics, not crash building the
+    bits table from zero rows (review r5)."""
+    ev = UniEvaluator({0: [1, 2], 1: [0]}, {}, num_items=8, top_k=[2])
+
+    def predict(params, users):
+        import jax.numpy as jnp
+        return jnp.ones((users.shape[0], 8))
+
+    out = ev.evaluate_raw(predict, None)
+    assert out.shape == (5, 1)
+    assert np.all(out == 0.0)

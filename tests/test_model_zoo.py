@@ -170,3 +170,43 @@ def test_multivae_learns(zoo_dataset):
     trainer.train()
     raw = trainer.evaluator.evaluator.evaluate_raw(model.predict, trainer.params)
     assert raw[2, 0] > 0.12, "MultiVAE NDCG@10=%.4f" % raw[2, 0]
+
+
+def test_irgan_discriminator_pad_slots_carry_no_weight(tmp_path):
+    """The D sub-epoch pads its flat instance array to a batch multiple by
+    aliasing slot 0; those slots must train with weight 0 (review r5: they
+    trained the first user's first positive with full weight). With a
+    single step the batch gradient is an order-independent sum, so a
+    batch_size == N run and a padded batch_size > N run from the same key
+    must produce the same updated discriminator."""
+    import jax
+
+    from tests.helpers import make_config, make_synthetic_dataset
+
+    make_synthetic_dataset(tmp_path, num_users=10, num_items=24,
+                           min_items=4, max_items=7)
+    base = {"lr": 0.01, "factors_num": 8, "epochs": 1, "d_epoch": 1,
+            "g_epoch": 1, "g_reg": 0.0, "d_reg": 0.00625, "d_tau": 0.2,
+            "pretrain_file": "None", "verbose": 1}
+
+    def d_pass_with_batch(batch_size):
+        conf = make_config(tmp_path, recommender="IRGAN",
+                           alg_props=dict(base, batch_size=batch_size))
+        ds = Dataset(conf)
+        model = get_model("IRGAN")(ds, conf)
+        params = model.init_params(jax.random.PRNGKey(0))
+        new_params, _ = model._d_pass(params, jax.random.PRNGKey(7))
+        return model, new_params["dis"]
+
+    model, _ = d_pass_with_batch(512)  # probe N
+    n_flat = int(model._train_users.shape[0]) * 2 * model.L
+    assert n_flat < 512, "fixture must fit one batch"
+
+    _, dis_exact = d_pass_with_batch(n_flat)       # no pad slots
+    _, dis_padded = d_pass_with_batch(n_flat + 64)  # 64 pad slots
+
+    for k in dis_exact:
+        np.testing.assert_allclose(
+            np.asarray(dis_exact[k]), np.asarray(dis_padded[k]),
+            rtol=2e-5, atol=1e-7, err_msg=k,
+        )

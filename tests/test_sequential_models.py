@@ -292,3 +292,76 @@ def test_gru4recplus_losses_match_reference_math():
     )
     np.testing.assert_allclose(got_bpr, want_bpr, rtol=1e-5)
     np.testing.assert_allclose(got_top1, want_top1, rtol=1e-5)
+
+
+def test_srgnn_dataset_smaller_than_batch(tmp_path):
+    """N < batch_size crashed the epoch reshape (review r5); the batch now
+    clamps to N so tiny datasets train one full batch instead."""
+    make_synthetic_dataset(tmp_path, num_users=6, num_items=20,
+                           min_items=6, max_items=9)
+    conf = make_config(
+        tmp_path, recommender="SRGNN",
+        alg_props=dict(SEQ_PROPS["SRGNN"], batch_size=512, epochs=1,
+                       verbose=1),
+    )
+    dataset = Dataset(conf)
+    model = get_model("SRGNN")(dataset, conf)
+    assert model._n_inst < 512
+    trainer = Trainer(model, dataset, conf, logger=SilentLogger())
+    result = trainer.train()
+    vals = [float(x) for x in result.split("\t")]
+    assert len(vals) == 10 and all(np.isfinite(vals))
+
+
+def test_caser_eval_scores_without_item_bias(seq_dataset):
+    """Reference quirk (Caser.py:122): all_logits excludes the learned
+    item bias at eval even though training logits include it."""
+    import jax
+    import jax.numpy as jnp
+
+    conf = make_config(seq_dataset, recommender="Caser",
+                       alg_props=SEQ_PROPS["Caser"])
+    dataset = Dataset(conf)
+    model = get_model("Caser")(dataset, conf)
+    params = model.init_params(jax.random.PRNGKey(0))
+    users = jnp.arange(5, dtype=jnp.int32)
+    base = np.asarray(model.predict(params, users))
+    params2 = dict(params, item_bias=params["item_bias"] + 1e3)
+    shifted = np.asarray(model.predict(params2, users))
+    np.testing.assert_allclose(base, shifted, rtol=1e-6)
+
+
+def test_gru4rec_pad_steps_do_not_update(seq_dataset):
+    """The pinned schedule's all-invalid tail steps must be true no-ops:
+    no Adam count/momentum drift, no reg shrinkage of sampled negatives
+    (review r5). The optimizer step count after one epoch must equal the
+    number of schedule steps with at least one valid row, not the pinned
+    length."""
+    import jax
+    import numpy as np_
+
+    conf = make_config(
+        seq_dataset, recommender="GRU4Rec",
+        alg_props=dict(SEQ_PROPS["GRU4Rec"], epochs=1, verbose=2),
+    )
+    dataset = Dataset(conf)
+    model = get_model("GRU4Rec")(dataset, conf)
+    trainer = Trainer(model, dataset, conf, logger=SilentLogger())
+    trainer.initialize()
+    key = jax.random.PRNGKey(trainer.seed + 1)
+    ekey = jax.random.fold_in(key, 1)
+    trainer.params, trainer.opt_state, _ = trainer._epoch_fn(
+        trainer.params, trainer.opt_state, ekey, 1
+    )
+    # reconstruct the epoch's schedule exactly as epoch_fn drew it
+    seed = int(jax.random.randint(ekey, (), 0, 2 ** 31 - 1))
+    perm = np_.random.RandomState(seed).permutation(model.num_users)
+    _, _, _, valids = model._build_schedule(perm, model.batch_size)
+    n_valid_steps = int((valids.sum(axis=1) > 0).sum())
+    assert model._sched_len > n_valid_steps, "fixture has no pad steps"
+    counts = [
+        int(x) for x in jax.tree.leaves(trainer.opt_state)
+        if getattr(x, "shape", None) == () and x.dtype == jnp.int32
+    ]
+    assert counts and all(c == n_valid_steps for c in counts), (
+        counts, n_valid_steps)
