@@ -20,7 +20,10 @@ class DataIterator:
         lengths = {len(d) for d in data}
         if len(lengths) != 1:
             raise ValueError("all data sequences must have equal length")
-        self._data = [list(d) for d in data]
+        # keep sequences as given (the reference does the same): an eager
+        # list() of a few-million-element int32 array boxes every element
+        # into a Python object (~30x memory) before the first batch
+        self._data = list(data)
         self._n = lengths.pop()
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)

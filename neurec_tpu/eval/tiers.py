@@ -320,6 +320,29 @@ def make_bits_predict_topk(K: int, width: int, num_items: int):
     return topk_fn
 
 
+def _merge_local_topk(masked, off, num_items, K, k_local):
+    """Shared tail of both item-sharded tiers: catalog-pad guard, local
+    top-K, exact all-gather merge over 'model'.
+
+    The tie-exactness invariant lives HERE AND ONLY HERE (review r5 — it
+    was encoded twice): candidates concatenate in (shard, local rank)
+    order, so at equal scores the merge's top_k keeps the earliest
+    candidate = the lowest global id, identical tie-breaking to a
+    replicated ``lax.top_k`` over the full catalog.
+    """
+    gcol = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1) + off
+    masked = jnp.where(gcol < num_items, masked, -jnp.inf)
+    vals, ids = jax.lax.top_k(masked, k_local)
+    gids = ids.astype(jnp.int32) + off
+    vals_all = jax.lax.all_gather(vals, "model")
+    gids_all = jax.lax.all_gather(gids, "model")
+    B = vals.shape[0]
+    vals_cat = vals_all.transpose(1, 0, 2).reshape(B, -1)
+    gids_cat = gids_all.transpose(1, 0, 2).reshape(B, -1)
+    _, midx = jax.lax.top_k(vals_cat, K)
+    return jnp.take_along_axis(gids_cat, midx, axis=1)
+
+
 def make_item_shard_bits_topk(
     K: int, mesh, num_items: int, pack_block: int, n_model: int
 ):
@@ -349,18 +372,7 @@ def make_item_shard_bits_topk(
         masked = jnp.where(
             bits_expand(bits_loc, I_m) != 0, -jnp.inf, scores
         )
-        # table pad rows (global id >= num_items) must never rank
-        gcol = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1) + off
-        masked = jnp.where(gcol < num_items, masked, -jnp.inf)
-        vals, ids = jax.lax.top_k(masked, k_local)
-        gids = ids.astype(jnp.int32) + off
-        vals_all = jax.lax.all_gather(vals, "model")  # (m, B, k_local)
-        gids_all = jax.lax.all_gather(gids, "model")
-        B = vals.shape[0]
-        vals_cat = vals_all.transpose(1, 0, 2).reshape(B, -1)
-        gids_cat = gids_all.transpose(1, 0, 2).reshape(B, -1)
-        _, midx = jax.lax.top_k(vals_cat, K)
-        return jnp.take_along_axis(gids_cat, midx, axis=1)
+        return _merge_local_topk(masked, off, num_items, K, k_local)
 
     sharded = shard_map(
         body,
@@ -399,17 +411,7 @@ def make_item_shard_rows_topk(K: int, mesh, num_items: int, interpret: bool):
         masked = masked_scores(
             u_vecs, item_block, local_rows, interpret=interpret
         )  # (B, I_m)
-        gcol = jax.lax.broadcasted_iota(jnp.int32, masked.shape, 1) + off
-        masked = jnp.where(gcol < num_items, masked, -jnp.inf)
-        vals, ids = jax.lax.top_k(masked, k_local)
-        gids = ids.astype(jnp.int32) + off
-        vals_all = jax.lax.all_gather(vals, "model")
-        gids_all = jax.lax.all_gather(gids, "model")
-        B = vals.shape[0]
-        vals_cat = vals_all.transpose(1, 0, 2).reshape(B, -1)
-        gids_cat = gids_all.transpose(1, 0, 2).reshape(B, -1)
-        _, midx = jax.lax.top_k(vals_cat, K)
-        return jnp.take_along_axis(gids_cat, midx, axis=1)
+        return _merge_local_topk(masked, off, num_items, K, k_local)
 
     sharded = shard_map(
         body,

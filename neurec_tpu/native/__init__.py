@@ -25,12 +25,21 @@ def build(force: bool = False) -> str:
     if force or not os.path.isfile(_SO) or (
         os.path.getmtime(src) > os.path.getmtime(_SO)
     ):
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
-             "-shared", "-o", _SO, src],
-            check=True,
-            cwd=_DIR,
-        )
+        # compile to a per-process temp and rename atomically: two
+        # processes building concurrently (multi-process tests, first
+        # import races) must never dlopen a partially written .so
+        tmp = "%s.tmp.%d" % (_SO, os.getpid())
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
+                 "-shared", "-o", tmp, src],
+                check=True,
+                cwd=_DIR,
+            )
+            os.replace(tmp, _SO)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return _SO
 
 
@@ -97,8 +106,24 @@ def batch_randint_choice(
     exclusion: Sequence[Sequence[int]],
     seed: int = 0,
 ) -> List[np.ndarray]:
-    """Per-user uniform draws in [0, high) excluding each exclusion set."""
+    """Per-user uniform draws in [0, high) excluding each exclusion set.
+
+    Validation mirrors the reference Cython sampler
+    (util/cython/random_choice.pyx:24-82): a counts/exclusion length
+    mismatch otherwise reads past the offsets array in the C++, and an
+    exclusion covering [0, high) spins the rejection loop forever.
+    """
     lib = _load()
+    if len(counts) != len(exclusion):
+        raise ValueError(
+            "The shape of 'exclusion' is not compatible with the shape "
+            "of 'size'!"
+        )
+    for e in exclusion:
+        if high <= len(e):  # reference's conservative raw-length check
+            raise ValueError(
+                "The number of 'exclusion' is greater than 'high'."
+            )
     counts_a = np.ascontiguousarray(counts, dtype=np.int32)
     flat = np.concatenate([np.asarray(e, np.int32) for e in exclusion]) if (
         exclusion

@@ -160,17 +160,25 @@ void eval_one_user(const float* scores, int num_items,
   std::vector<int> idx(num_items);
   for (int i = 0; i < num_items; ++i) idx[i] = i;
   const int k = std::min(top_k, num_items);
+  // NaN-aware: a plain `!=` comparator makes NaN "equivalent" to every
+  // value while real values still order — a strict-weak-ordering
+  // violation (UB in partial_sort). Rank NaN last, ties by lower index.
   std::partial_sort(idx.begin(), idx.begin() + k, idx.end(),
                     [scores](int a, int b) {
-                      if (scores[a] != scores[b]) return scores[a] > scores[b];
+                      const float sa = scores[a], sb = scores[b];
+                      const bool na = std::isnan(sa), nb = std::isnan(sb);
+                      if (na != nb) return nb;
+                      if (!na && sa != sb) return sa > sb;
                       return a < b;
                     });
   idx.resize(k);
   std::unordered_set<int> truth_set(truth, truth + truth_len);
   for (int m = 0; m < n_metrics; ++m) {
     metric_vector(metrics[m], idx, truth_set, out + m * top_k);
-    // pad (top_k > num_items) positions keep the last value
-    for (int r = k; r < top_k; ++r) out[m * top_k + r] = out[m * top_k + k - 1];
+    // pad (top_k > num_items) positions keep the last value (0 when the
+    // catalog is empty and no value was written at all)
+    const float last = k > 0 ? out[m * top_k + k - 1] : 0.f;
+    for (int r = k; r < top_k; ++r) out[m * top_k + r] = last;
   }
 }
 
@@ -227,7 +235,10 @@ void arg_topk(const float* scores, int batch, int num_items, int k,
       for (int i = 0; i < num_items; ++i) idx[i] = i;
       std::partial_sort(idx.begin(), idx.begin() + kk, idx.end(),
                         [row](int a, int c) {
-                          if (row[a] != row[c]) return row[a] > row[c];
+                          const float sa = row[a], sc = row[c];
+                          const bool na = std::isnan(sa), nc = std::isnan(sc);
+                          if (na != nc) return nc;  // NaN ranks last
+                          if (!na && sa != sc) return sa > sc;
                           return a < c;
                         });
       for (int i = 0; i < kk; ++i) out[static_cast<int64_t>(b) * k + i] = idx[i];

@@ -34,11 +34,29 @@ def get_initializer(init_method: str, stddev: float = 0.01):
         }[m]()
 
         def init(key, shape, dtype=jnp.float32):
-            # variance-scaling inits need >= 2 dims; TF happily initializes
-            # 1-D biases with them — promote and squeeze to match
+            # variance-scaling inits need >= 2 dims. TF initializes 1-D
+            # biases with fan_in = fan_out = shape[-1]
+            # (tf.contrib.layers variance_scaling `_compute_fans`); the
+            # old (1, n) promotion gave fan_in = 1 — a sqrt(n)-too-large
+            # init (~50x at 5k dims; review r5). Reproduce the TF fans
+            # with jax's own distribution family (variance-corrected
+            # truncated normal / uniform).
             if len(shape) < 2:
-                full = base(key, (1,) + tuple(shape) if shape else (1, 1), dtype)
-                return full.reshape(shape)
+                n = shape[0] if shape else 1
+                scale = 2.0 if m.startswith("he") else 1.0
+                var = scale / max(float(n), 1.0)  # FAN_IN == FAN_AVG here
+                if m.endswith("uniform"):
+                    limit = jnp.sqrt(3.0 * var)
+                    return jax.random.uniform(
+                        key, shape, dtype, minval=-limit, maxval=limit
+                    )
+                # jax variance_scaling's truncated-normal correction
+                std = jnp.sqrt(var) / jnp.asarray(
+                    0.87962566103423978, dtype
+                )
+                return std * jax.random.truncated_normal(
+                    key, -2.0, 2.0, shape, dtype
+                )
             return base(key, shape, dtype)
     elif m == "zeros":
         def init(key, shape, dtype=jnp.float32):

@@ -89,7 +89,10 @@ def try_load(*paths):
         return None
     try:
         out = [load_pretrain(p) for p in paths]
-    except (OSError, TypeError, ValueError, pickle.PickleError):
+    except Exception:
+        # any unreadable/corrupt/incompatible pickle (incl. EOFError from
+        # a truncated save and AttributeError from stale contents) falls
+        # back to training from scratch, like the reference
         log.info("load pretrained params unsuccessful! (%s)" % ", ".join(paths))
         return None
     log.info("load pretrained params successful! (%s)" % ", ".join(paths))

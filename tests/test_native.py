@@ -82,3 +82,39 @@ def test_arg_topk():
     got = native.arg_topk(scores, 5, n_threads=2)
     want = np.argsort(-scores, axis=1, kind="stable")[:, :5]
     np.testing.assert_array_equal(got, want)
+
+
+def test_arg_topk_and_eval_rank_nan_last():
+    """NaN scores must rank last deterministically (review r5: the plain
+    `!=` comparator made NaN 'equivalent' to everything — a strict-weak-
+    ordering violation and UB in std::partial_sort)."""
+    native.build(force=True)
+    scores = np.array([[1.0, np.nan, 3.0, 2.0],
+                       [np.nan, np.nan, 0.5, np.nan]], np.float32)
+    idx = native.arg_topk(scores, k=4)
+    np.testing.assert_array_equal(idx[0], [2, 3, 0, 1])
+    assert idx[1][0] == 2          # the only real value first
+    assert set(idx[1][1:]) == {0, 1, 3}  # NaNs after, by index
+
+    # the metric path must also survive NaN without UB
+    out = native.eval_score_matrix(scores, [[2], [2]], ["Recall"], 4)
+    assert np.all(np.isfinite(out))
+    assert out[0, 1] == 1.0 and out[1, 0] == 1.0  # truth item found
+
+
+def test_eval_empty_catalog_pads_zero():
+    """num_items == 0 wrote out[-1] in the pad loop (review r5)."""
+    scores = np.zeros((2, 0), np.float32)
+    out = native.eval_score_matrix(scores, [[], []], ["Recall", "NDCG"], 5)
+    assert out.shape == (2, 10)
+    np.testing.assert_array_equal(out, 0.0)
+
+
+def test_batch_randint_choice_validates_like_reference():
+    """Reference parity (random_choice.pyx:32-33, 81-82): a counts vs
+    exclusion length mismatch read past the offsets array in the C++;
+    full-coverage exclusion hung the rejection loop."""
+    with pytest.raises(ValueError, match="not compatible"):
+        native.batch_randint_choice(10, [2, 2, 2], [[1], [2]])
+    with pytest.raises(ValueError, match="greater than 'high'"):
+        native.batch_randint_choice(3, [1], [[0, 1, 2]])
