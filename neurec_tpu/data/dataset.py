@@ -243,16 +243,41 @@ class Dataset:
 
         # remap an optional shipped .neg file alongside the cache. Parse it
         # with pandas + the same separator as the .rating file so the id
-        # tokens come back with the SAME dtype as the remap dict keys — a
-        # str(line).split() lookup raises KeyError for every numeric-id
-        # dataset (pandas keys the maps by int64 there).
+        # tokens usually come back with the SAME dtype as the remap dict
+        # keys — a str(line).split() lookup raises KeyError for every
+        # numeric-id dataset (pandas keys the maps by int64 there). Since
+        # pandas infers dtype per COLUMN, a mixed-alphanumeric id space
+        # can still disagree between the files (str map keys vs an
+        # all-numeric .neg column) — _remap_token bridges both.
+        def _remap_token(mapping, tok, which):
+            if isinstance(tok, float) and np.isnan(tok):
+                raise ValueError(
+                    "ragged line in %s.neg (every row needs the same "
+                    "number of %s ids)" % (self.dataset_name, which)
+                )
+            if tok in mapping:
+                return mapping[tok]
+            if str(tok) in mapping:
+                return mapping[str(tok)]
+            try:
+                as_int = int(tok)
+            except (TypeError, ValueError):
+                as_int = None
+            if as_int is not None and as_int in mapping:
+                return mapping[as_int]
+            raise KeyError(
+                "unknown %s id %r in %s.neg" % (which, tok, self.dataset_name)
+            )
+
         neg_item_file = ori_prefix + ".neg"
         if os.path.isfile(neg_item_file):
             neg_raw = pd.read_csv(neg_item_file, sep=sep, header=None)
             neg_item_list = []
             for line in neg_raw.values:
-                row = [self.userids[line[0]]]
-                row.extend(self.itemids[i] for i in line[1:])
+                row = [_remap_token(self.userids, line[0], "user")]
+                row.extend(
+                    _remap_token(self.itemids, i, "item") for i in line[1:]
+                )
                 neg_item_list.append(row)
             test_neg = len(neg_item_list[0]) - 1
             np.savetxt(

@@ -22,8 +22,12 @@ class DataIterator:
             raise ValueError("all data sequences must have equal length")
         # keep sequences as given (the reference does the same): an eager
         # list() of a few-million-element int32 array boxes every element
-        # into a Python object (~30x memory) before the first batch
-        self._data = list(data)
+        # into a Python object (~30x memory) before the first batch.
+        # pandas objects index by LABEL, not position — a filtered
+        # Series would yield wrong rows — so those convert to numpy.
+        self._data = [
+            d.to_numpy() if hasattr(d, "iloc") else d for d in data
+        ]
         self._n = lengths.pop()
         self.batch_size = int(batch_size)
         self.shuffle = bool(shuffle)

@@ -546,11 +546,21 @@ class UniEvaluator:
         # materializes once per eval call and the scan body only gathers
         # its rows. predict-kind plans only — factorized models hoist via
         # eval_tables instead (review r5).
+        # the hook promises the same matrix as model.predict, so engage
+        # it ONLY when the caller actually passed model.predict — a
+        # different bound scoring method must never be silently replaced
+        is_model_predict = (
+            model is not None
+            and getattr(predict_fn, "__func__", None)
+            is getattr(type(model), "predict", None)
+        )
         dense_fn = (
             getattr(model, "eval_dense_scores", None)
-            if pred_topk is not None
+            if pred_topk is not None and is_model_predict
             else None
         )
+        if dense_fn is not None and not callable(dense_fn):
+            dense_fn = None
 
         def metric_tail(topk, sel, valid):
             hits = hit_matrix(topk, self._test_rows[sel], self._test_lens[sel])

@@ -49,6 +49,10 @@ class JCA(Recommender):
         item_padded = build_padded_positives(dataset.train_matrix.T.tocsr())
         self._user_rows = jnp.asarray(user_padded.items)
         self._item_rows = jnp.asarray(item_padded.items)
+        # dense-hoist budget: ~3 (U, I) f32 transients live at the hoist
+        # (all-users rows input, u_dec output, resident average)
+        if 12 * self.num_users * self.num_items > 512 * 1024 * 1024:
+            self.eval_dense_scores = None  # getattr -> absent
 
     def init_params(self, rng):
         init = get_initializer(self.init_method, self.stddev)
@@ -167,10 +171,11 @@ class JCA(Recommender):
     def eval_dense_scores(self, params):
         """Evaluator/serving hoist hook (review r5): predict runs the
         FULL item decoder — an (I, U) matrix — for every eval batch
-        inside the scan. The hoisted (U, I) average costs no more than
-        ONE batch's i_dec transient and computes the item side once per
-        eval call. Row-independent math keeps it bit-exact with batched
-        predict."""
+        inside the scan; hoisting computes the item side once per eval
+        call. All-users u_dec adds (U, I)-scale transients on top of the
+        (I, U) one each batch already paid, so the hook un-advertises
+        over a byte budget (__init__). Row-independent math keeps it
+        bit-exact with batched predict."""
         return self.predict(
             params, jnp.arange(self.num_users, dtype=jnp.int32)
         )

@@ -145,7 +145,14 @@ def batch_topk(
         e_items = np.zeros((n_batches, 8), np.int32)
         e_users = np.full((n_batches, 8), B, np.int32)
 
-    cache_key = (B, int(k), masked)
+    # dense-hoist hook (see evaluator.py): only for FULL-catalog exports
+    # — a subset query must not pay the all-users score matrix
+    # (self-review r5), and per-batch predict is what subsets costed
+    # before the hook existed
+    dense_hook = getattr(model, "eval_dense_scores", None)
+    use_dense = callable(dense_hook) and n == model.num_users
+
+    cache_key = (B, int(k), masked, use_dense)
     export = _cache_get(model, cache_key)
     if export is None:
         # the closure must NOT strongly hold the model or the cache
@@ -160,9 +167,10 @@ def batch_topk(
             # same hoist as the evaluator's: models whose predict redoes
             # full-catalog work per batch (CFGAN itemBased) expose
             # eval_dense_scores; materialize once, gather rows in-scan
-            dense = getattr(mdl, "eval_dense_scores", None)
             dense_scores = (
-                dense(p).astype(jnp.float32) if dense is not None else None
+                mdl.eval_dense_scores(p).astype(jnp.float32)
+                if use_dense
+                else None
             )
 
             def body(carry, xs):

@@ -258,3 +258,37 @@ def test_shipped_neg_file_remaps_numeric_ids(tmp_path):
         new_u = ds.userids[orig_u]
         want = {ds.itemids[i] for i in negs}
         assert set(neg_dict[new_u]) == want
+
+
+def test_shipped_neg_file_mixed_dtype_columns(tmp_path):
+    """pandas infers dtype per column: with string ids in .rating, a .neg
+    column whose tokens are all numeric parses as int64 and missed the
+    str-keyed maps (self-review r5)."""
+    import numpy as np
+
+    from neurec_tpu.data.dataset import Dataset
+    from tests.helpers import make_config
+
+    rng = np.random.RandomState(0)
+    items = ["a", "b", "3", "4", "c5", "6", "d", "8", "e", "10"]
+    lines = []
+    for u in range(8):
+        chosen = rng.choice(10, size=6, replace=False)
+        for t, ci in enumerate(chosen):
+            lines.append("u%d\t%s\t1.0\t%d" % (u, items[ci], t))
+    (tmp_path / "synth.rating").write_text("\n".join(lines) + "\n")
+    # negatives chosen among the all-numeric tokens -> int64 .neg columns
+    neg_lines = []
+    for u in range(8):
+        used = {l.split("\t")[1] for l in lines
+                if l.startswith("u%d\t" % u)}
+        pool = [i for i in ("3", "4", "6", "8") if i not in used][:2]
+        if len(pool) < 2:
+            pool = (pool + ["3", "4", "6", "8"])[:2]
+        neg_lines.append("u%d\t%s" % (u, "\t".join(pool)))
+    (tmp_path / "synth.neg").write_text("\n".join(neg_lines) + "\n")
+
+    conf = make_config(tmp_path, **{"rec.evaluate.neg": 2})
+    ds = Dataset(conf)  # KeyError (int64 token vs str key) before the fix
+    assert ds.negative_matrix is not None
+    assert ds.negative_matrix.nnz >= 8

@@ -381,3 +381,66 @@ def test_zero_test_users_evaluates_to_zeros():
     out = ev.evaluate_raw(predict, None)
     assert out.shape == (5, 1)
     assert np.all(out == 0.0)
+
+
+def test_dense_hook_ignored_for_foreign_predict_fn(tmp_path):
+    """eval_dense_scores promises model.predict's matrix, so it must only
+    engage when model.predict itself is evaluated — a different bound
+    scoring method must run as passed (self-review r5)."""
+    import types
+
+    import jax
+    import jax.numpy as jnp
+
+    from neurec_tpu.data.dataset import Dataset
+    from neurec_tpu.models import get_model
+    from tests.helpers import make_config, make_synthetic_dataset
+
+    make_synthetic_dataset(tmp_path, num_users=20, num_items=30)
+    conf = make_config(tmp_path, recommender="MF",
+                       alg_props={"embedding_size": 4})
+    ds = Dataset(conf)
+    model = get_model("MF")(ds, conf)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    def alt_scores(self, p, users):
+        return self.predict(p, users) * -1.0  # reversed ranking
+
+    alt_bound = types.MethodType(alt_scores, model)
+    ev0 = Evaluator.from_dataset(ds, conf)
+    want = ev0.evaluate(alt_bound, params)
+
+    # a poisoned hook must NOT replace the foreign bound method
+    model.eval_dense_scores = lambda p: jnp.zeros(
+        (model.num_users, model.num_items))
+    ev1 = Evaluator.from_dataset(ds, conf)
+    got = ev1.evaluate(types.MethodType(alt_scores, model), params)
+    assert got == want
+
+
+def test_dmf_dense_hook_budget_gate(tmp_path, monkeypatch):
+    """DMF's hoist transient scales with num_users; over the byte budget
+    the hook must un-advertise so the per-batch path stands
+    (self-review r5)."""
+    import jax
+
+    from neurec_tpu.data.dataset import Dataset
+    from neurec_tpu.models import get_model
+    from neurec_tpu.models.general.dmf import DMF
+    from tests.helpers import make_config, make_synthetic_dataset
+
+    make_synthetic_dataset(tmp_path, num_users=20, num_items=30)
+    conf = make_config(tmp_path, recommender="DMF",
+                       alg_props={"layers": "[8,4]", "epochs": 1})
+    ds = Dataset(conf)
+    model = get_model("DMF")(ds, conf)
+    assert callable(getattr(model, "eval_dense_scores", None))
+
+    monkeypatch.setattr(DMF, "_DENSE_EVAL_BUDGET", 64)
+    gated = get_model("DMF")(ds, conf)
+    assert getattr(gated, "eval_dense_scores", None) is None
+    # and the evaluator still works on the gated model
+    params = gated.init_params(jax.random.PRNGKey(0))
+    ev = Evaluator.from_dataset(ds, conf)
+    out = ev.evaluate(gated.predict, params)
+    assert all(np.isfinite(float(x)) for x in out.split("\t"))

@@ -142,3 +142,31 @@ def test_batch_topk_k_exceeds_catalog(tmp_path):
         assert set(items[u].tolist()) == set(range(ds.num_items))
         np.testing.assert_allclose(
             scores[u], np.sort(full[u])[::-1], rtol=1e-6)
+
+
+def test_batch_topk_subset_skips_dense_hoist(tmp_path):
+    """A subset query must not pay the all-users dense matrix; only the
+    full-catalog export hoists (self-review r5)."""
+    make_synthetic_dataset(tmp_path, num_users=16, num_items=20,
+                           min_items=3, max_items=6)
+    conf = make_config(tmp_path, recommender="MF",
+                       alg_props={"embedding_size": 4})
+    ds = Dataset(conf)
+    model = get_model("MF")(ds, conf)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    calls = {"dense": 0}
+
+    def fake_dense(p):
+        calls["dense"] += 1
+        return model.predict(
+            p, np.arange(model.num_users, dtype=np.int32))
+
+    model.eval_dense_scores = fake_dense
+    sub_items, _ = batch_topk(model, params, k=4,
+                              users=np.array([1, 2], np.int32))
+    assert calls["dense"] == 0
+    full_items, _ = batch_topk(model, params, k=4)
+    assert calls["dense"] >= 1
+    # both paths rank identically
+    np.testing.assert_array_equal(full_items[1:3], sub_items)

@@ -90,3 +90,18 @@ def test_try_load_corrupt_pickle_falls_back(tmp_path):
     p = tmp_path / "trunc.pkl"
     p.write_bytes(b"\x80\x04")  # pickle protocol header, then EOF
     assert try_load(str(p)) is None
+
+
+def test_data_iterator_pandas_series_positional():
+    """A filtered pandas Series has a non-contiguous label index; batches
+    must be positional (label-based lookup returned wrong rows after the
+    no-boxing change — self-review r5)."""
+    import pandas as pd
+
+    from neurec_tpu.data.iterator import DataIterator
+
+    df = pd.DataFrame({"user": [10, 20, 30, 40, 50]})
+    filtered = df[df["user"] > 20]["user"]  # labels 2, 3, 4
+    it = DataIterator(filtered, batch_size=2)
+    got = [list(b) for b in it]
+    assert got == [[30, 40], [50]]
